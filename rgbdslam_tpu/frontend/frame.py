@@ -1,0 +1,106 @@
+"""Per-frame feature extraction into a fixed-shape device pytree.
+
+TPU-native Frame construction (Core/Frame.cpp:34-122): grayscale conversion &
+depth scaling happen in the dataset layer; here a single jitted program runs
+pyramid -> FAST/Shi-Tomasi grid detection -> (optional) IC orientation ->
+BRIEF-256 description -> keypoint undistortion -> depth backprojection, all
+under a fixed N-keypoint budget with validity masks (replacing the reference's
+dynamic std::vector keypoints + 64x48 hash grid + per-keypoint loops).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from rgbdslam_tpu.config import ExtractorConfig
+from rgbdslam_tpu.geometry import camera as cam_mod
+from rgbdslam_tpu.geometry.camera import Camera
+from rgbdslam_tpu.ops import fast as fast_ops
+from rgbdslam_tpu.ops import image as image_ops
+from rgbdslam_tpu.ops import orb as orb_ops
+
+
+@struct.dataclass
+class FrameFeatures:
+    """Fixed-budget per-frame features (the device-side Frame).
+
+    Replaces Core/Frame.h:24-216's feature members: mvKeys/mvKeysUn ->
+    uv/uv_undist, mvKeys3Dc -> xyz, mDescriptors -> desc, inlier/outlier and
+    depth-validity flags -> masks.
+    """
+
+    uv: jnp.ndarray          # (N, 2) f32 detected (distorted) pixel coords
+    uv_undist: jnp.ndarray   # (N, 2) f32 undistorted pixel coords
+    xyz: jnp.ndarray         # (N, 3) f32 camera-frame 3D (z=0 when no depth)
+    desc: jnp.ndarray        # (N, 8) u32 packed 256-bit descriptors
+    score: jnp.ndarray       # (N,) f32 detector response
+    level: jnp.ndarray       # (N,) i32 pyramid level
+    valid: jnp.ndarray       # (N,) bool detected slot
+    has_depth: jnp.ndarray   # (N,) bool valid metric depth at the keypoint
+    intensity: jnp.ndarray   # (N,) f32 gray value (landmark "color",
+                             #   Core/Frame.cpp:91-117 stores per-keypoint color)
+
+    @property
+    def num_slots(self) -> int:
+        return self.uv.shape[0]
+
+    @property
+    def obs_valid(self) -> jnp.ndarray:
+        """Usable observation: detected and has depth (Frame::isValidObs)."""
+        return self.valid & self.has_depth
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def build_frame_features(
+    cam: Camera,
+    gray: jnp.ndarray,
+    depth: jnp.ndarray,
+    cfg: ExtractorConfig = ExtractorConfig(),
+    use_orientation: bool = False,
+) -> FrameFeatures:
+    """gray [H,W] f32 (0..255), depth [H,W] f32 meters -> FrameFeatures.
+
+    Mirrors the frame-ingestion call stack (SURVEY.md §3.1) minus disk IO.
+    """
+    pyramid = image_ops.build_pyramid(gray, cfg.num_levels)
+    kp = fast_ops.detect_keypoints(
+        pyramid,
+        num_features=cfg.num_features,
+        cell_size=cfg.cell_size,
+        fast_threshold=cfg.fast_threshold,
+        min_response=cfg.min_response,
+        min_border=cfg.min_border,
+    )
+
+    blurred = image_ops.gaussian_blur(gray, sigma=2.0, radius=3)
+    if use_orientation:
+        angles = orb_ops.ic_angles(gray, kp.uv, radius=cfg.orientation_radius)
+    else:
+        angles = None
+    desc = orb_ops.brief_descriptors(blurred, kp.uv, angles, cfg.brief_patch_size)
+
+    # Depth lookup at the detected (distorted) coords, like the reference
+    # (Core/Frame.cpp:91-117 reads mImDepth at mvKeys); unprojection uses the
+    # undistorted coords (Core/Frame.cpp:251-281 + uprojectCamera).
+    z = image_ops.nearest_sample(depth, kp.uv)
+    has_depth = cam_mod.valid_depth(cam, z) & kp.valid
+    uv_undist = cam_mod.undistort_pixels(cam, kp.uv)
+    z_safe = jnp.where(has_depth, z, 0.0)
+    xyz = cam_mod.unproject(cam, uv_undist, z_safe)
+    intensity = image_ops.nearest_sample(gray, kp.uv)
+
+    return FrameFeatures(
+        uv=kp.uv,
+        uv_undist=uv_undist,
+        xyz=xyz,
+        desc=desc,
+        score=kp.score,
+        level=kp.level,
+        valid=kp.valid,
+        has_depth=has_depth,
+        intensity=intensity,
+    )

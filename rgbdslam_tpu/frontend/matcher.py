@@ -1,0 +1,90 @@
+"""Descriptor matching with the reference Matcher's gates, as one array program.
+
+Reference semantics (Features/Matcher.cpp:106-139): brute-force kNN(k=2)
+Hamming matching of ref descriptors (queries) against cur descriptors (train),
+Lowe ratio test (VO passes 0.9, System/Tracking.cpp:125), train-index
+deduplication, and validity gates (both endpoints must have valid depth).
+
+TPU re-design: the full N x M distance matrix is computed at once
+(XOR+popcount, ops/hamming.py; Pallas kernel on TPU), the ratio test is a
+vectorized compare, and train-dedup becomes *mutual-nearest* selection — the
+reference's first-query-wins scan is order-dependent; mutual-best is the
+deterministic, order-free equivalent (keeps the minimum-distance match per
+train index, a strict superset of the reference's rejection).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from rgbdslam_tpu.frontend.frame import FrameFeatures
+from rgbdslam_tpu.ops import hamming
+from rgbdslam_tpu.ops.hamming import BIG_DIST
+
+
+@struct.dataclass
+class MatchResult:
+    """Matches from frame1 (ref/query) into frame2 (cur/train), N1 slots."""
+
+    idx2: jnp.ndarray    # (N1,) i32 matched index in frame2
+    dist: jnp.ndarray    # (N1,) i32 Hamming distance
+    valid: jnp.ndarray   # (N1,) bool match survives all gates
+
+    @property
+    def num_matches(self) -> jnp.ndarray:
+        return jnp.sum(self.valid)
+
+
+def match_descriptors(
+    desc1: jnp.ndarray,
+    valid1: jnp.ndarray,
+    desc2: jnp.ndarray,
+    valid2: jnp.ndarray,
+    ratio: float = 0.9,
+) -> MatchResult:
+    """Core 2-NN ratio + mutual-dedup matching on packed descriptors."""
+    d = hamming.hamming_distance_matrix(desc1, desc2, valid1, valid2)
+    best_idx, best_dist, second_dist = hamming.knn2(d)
+    ratio_ok = best_dist.astype(jnp.float32) < ratio * second_dist.astype(jnp.float32)
+
+    # mutual-nearest train dedup: query i keeps (i -> j) iff i is the best
+    # query for train j among ratio-passing candidates
+    masked = jnp.where(ratio_ok[:, None], d, BIG_DIST)
+    col_best = jnp.argmin(masked, axis=0).astype(jnp.int32)  # (N2,)
+    rows = jnp.arange(desc1.shape[0], dtype=jnp.int32)
+    mutual = col_best[best_idx] == rows
+
+    valid = ratio_ok & mutual & valid1 & (best_dist < BIG_DIST)
+    return MatchResult(idx2=best_idx, dist=best_dist, valid=valid)
+
+
+@jax.jit
+def match_frames(
+    f1: FrameFeatures,
+    f2: FrameFeatures,
+    ratio: float = 0.9,
+) -> MatchResult:
+    """Matcher::match semantics over FrameFeatures: both endpoints must be
+    valid observations (detected + valid depth, Features/Matcher.cpp:130)."""
+    m = match_descriptors(f1.desc, f1.obs_valid, f2.desc, f2.obs_valid, ratio)
+    valid = m.valid & f2.obs_valid[m.idx2]
+    return m.replace(valid=valid)
+
+
+@jax.jit
+def gather_matched_points(f1: FrameFeatures, f2: FrameFeatures, m: MatchResult):
+    """Matched 3D-3D correspondence arrays (camera frames), masked.
+
+    Returns (p1 [N,3], p2 [N,3], w [N] weights 1/(z1*z2), valid [N]) — the
+    inputs of the RansacSE3 equivalent (weights: Solver/SolverSE3.cpp:174).
+    """
+    p1 = f1.xyz
+    p2 = f2.xyz[m.idx2]
+    z1 = jnp.maximum(p1[:, 2], 1e-6)
+    z2 = jnp.maximum(p2[:, 2], 1e-6)
+    w = jnp.where(m.valid, 1.0 / (z1 * z2), 0.0)
+    return p1, p2, w, m.valid

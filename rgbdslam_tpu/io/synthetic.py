@@ -1,0 +1,188 @@
+"""Procedural synthetic RGB-D sequence renderer with ground-truth trajectory.
+
+The reference has only rudimentary synthetic hooks (random keypoints,
+Core/RGBDcamera.cpp:163-192). Since this framework must be testable and
+benchmarkable without dataset downloads, we render full RGB-D frames of a
+textured box room by ray casting — a jit-compiled XLA program, so frames can
+be generated directly on the TPU for benchmarking.
+
+The texture is multi-frequency blocky value noise: piecewise-constant cells
+produce strong gradients/corners everywhere, which is exactly what a
+FAST/Shi-Tomasi frontend needs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rgbdslam_tpu.geometry import se3
+from rgbdslam_tpu.geometry.camera import Camera, SYNTHETIC
+
+ROOM_HALF = jnp.array([3.0, 2.0, 3.0], dtype=jnp.float32)  # box half-extents (x, y, z)
+
+
+def _hash3(ix: jnp.ndarray, iy: jnp.ndarray, iz: jnp.ndarray, seed: int) -> jnp.ndarray:
+    """Integer lattice hash -> [0, 1). Deterministic, vectorized."""
+    h = (
+        ix.astype(jnp.uint32) * jnp.uint32(0x8DA6B343)
+        + iy.astype(jnp.uint32) * jnp.uint32(0xD8163841)
+        + iz.astype(jnp.uint32) * jnp.uint32(0xCB1AB31F)
+        + jnp.uint32((seed * 0x9E3779B9) & 0xFFFFFFFF)
+    )
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 16)
+    return h.astype(jnp.float32) * (1.0 / 4294967296.0)
+
+
+def _blocky_noise(p: jnp.ndarray, freq: float, seed: int) -> jnp.ndarray:
+    """Piecewise-constant 3D value noise at the given lattice frequency."""
+    q = jnp.floor(p * freq)
+    return _hash3(
+        q[..., 0].astype(jnp.int32),
+        q[..., 1].astype(jnp.int32),
+        q[..., 2].astype(jnp.int32),
+        seed,
+    )
+
+
+def texture(p: jnp.ndarray) -> jnp.ndarray:
+    """World-space texture in [0, 1]: multi-scale blocky noise."""
+    return (
+        0.45 * _blocky_noise(p, 2.0, 1)
+        + 0.30 * _blocky_noise(p, 5.0, 2)
+        + 0.18 * _blocky_noise(p, 11.0, 3)
+        + 0.07 * _blocky_noise(p, 23.0, 4)
+    )
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def render_frame(cam: Camera, Twc: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Ray-cast one RGB-D frame of the box room.
+
+    Args:
+      cam: static camera intrinsics (no distortion).
+      Twc: camera-to-world pose (4, 4).
+
+    Returns:
+      gray [H, W] float32 in [0, 255], depth [H, W] float32 meters (camera z).
+    """
+    h, w = cam.height, cam.width
+    vv, uu = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    # camera-frame ray directions with unit z so that ray parameter == z-depth
+    d_cam = jnp.stack(
+        [(uu - cam.cx) / cam.fx, (vv - cam.cy) / cam.fy, jnp.ones_like(uu)], axis=-1
+    )
+    R = Twc[:3, :3]
+    o = Twc[:3, 3]
+    d_world = d_cam @ R.T  # (H, W, 3)
+
+    # Intersect with the 6 planes of the box from inside: for each axis and
+    # sign, t = (bound - o)/d. The closest positive t whose hit stays inside
+    # the box is the visible wall.
+    t_best = jnp.full((h, w), jnp.inf, dtype=jnp.float32)
+    for axis in range(3):
+        for sign in (-1.0, 1.0):
+            bound = sign * ROOM_HALF[axis]
+            denom = d_world[..., axis]
+            t = (bound - o[axis]) / jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+            hit = o + t[..., None] * d_world
+            # inside the face (other two axes within bounds)
+            ok = t > 1e-3
+            for other in range(3):
+                if other != axis:
+                    ok = ok & (jnp.abs(hit[..., other]) <= ROOM_HALF[other] + 1e-4)
+            t_best = jnp.where(ok & (t < t_best), t, t_best)
+
+    depth = jnp.where(jnp.isfinite(t_best), t_best, 0.0)
+    hit_pts = o + t_best[..., None] * d_world
+    shade = texture(hit_pts)
+    # slight distance attenuation for realism
+    gray = jnp.clip(30.0 + 210.0 * shade * (1.0 / (1.0 + 0.05 * depth)), 0.0, 255.0)
+    gray = jnp.where(depth > 0, gray, 0.0)
+    return gray, depth
+
+
+def look_at_pose(eye: np.ndarray, target: np.ndarray, up=(0.0, -1.0, 0.0)) -> np.ndarray:
+    """Twc with camera z pointing at `target` (vision convention: x right,
+    y down, z forward). `up` default is world -y = image up."""
+    z = target - eye
+    z = z / np.linalg.norm(z)
+    up = np.asarray(up, dtype=np.float64)
+    x = np.cross(-up, z)
+    if np.linalg.norm(x) < 1e-6:
+        x = np.cross(np.array([0.0, 0.0, 1.0]), z)
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, 0], T[:3, 1], T[:3, 2], T[:3, 3] = x, y, z, eye
+    return T
+
+
+def orbit_trajectory(n_frames: int, radius: float = 1.2, height_amp: float = 0.25,
+                     loops: float = 1.0) -> np.ndarray:
+    """A smooth closed orbit inside the room, looking outward at the walls.
+
+    Closing the loop (loops=1.0) revisits the start pose — exercises loop
+    closure. Returns Twc [N, 4, 4].
+    """
+    poses = []
+    for i in range(n_frames):
+        a = 2.0 * np.pi * loops * i / n_frames
+        eye = np.array(
+            [radius * np.cos(a), height_amp * np.sin(2 * a), radius * np.sin(a)],
+            dtype=np.float64,
+        )
+        # look at a point on the wall ahead (tangential + outward)
+        look_dir = np.array([-np.sin(a), 0.15 * np.cos(2 * a), np.cos(a)])
+        target = eye + look_dir
+        poses.append(look_at_pose(eye, target))
+    return np.stack(poses)
+
+
+def sweep_trajectory(n_frames: int, span: float = 1.6) -> np.ndarray:
+    """A back-and-forth lateral sweep facing one wall — pure odometry case."""
+    poses = []
+    for i in range(n_frames):
+        s = np.sin(2 * np.pi * i / n_frames)
+        eye = np.array([span * s, 0.2 * np.sin(4 * np.pi * i / n_frames), -1.0])
+        target = np.array([0.6 * span * s, 0.0, float(ROOM_HALF[2])])
+        poses.append(look_at_pose(eye, target))
+    return np.stack(poses)
+
+
+class SyntheticDataset:
+    """Dataset-interface wrapper over the renderer (IO/Dataset.h:11-39 analog).
+
+    grab(i) -> (timestamp, gray [H,W] f32, depth [H,W] f32 meters).
+    Ground truth available as `.poses_twc`.
+    """
+
+    name = "SYNTH"
+
+    def __init__(self, n_frames: int = 120, cam: Camera = SYNTHETIC,
+                 trajectory: str = "orbit", fps: float = 30.0):
+        self.cam = cam
+        self.fps = fps
+        if trajectory == "orbit":
+            self.poses_twc = orbit_trajectory(n_frames)
+        elif trajectory == "sweep":
+            self.poses_twc = sweep_trajectory(n_frames)
+        else:
+            raise ValueError(f"unknown trajectory {trajectory!r}")
+        self.timestamps = np.arange(n_frames, dtype=np.float64) / fps
+
+    def __len__(self) -> int:
+        return len(self.poses_twc)
+
+    def grab(self, i: int):
+        gray, depth = render_frame(self.cam, jnp.asarray(self.poses_twc[i]))
+        return self.timestamps[i], gray, depth

@@ -1,0 +1,98 @@
+"""Binary descriptor codebook: on-device k-majority clustering.
+
+Replaces the DBoW3 vocabulary (`voc_TUM_FAST_BRIEF.yml.gz`, main.cpp:15,32 —
+the file is not even shipped with the reference). Instead of an offline
+hierarchical k-means tree, we train a flat codebook of V binary words by
+k-majority (binary k-means): assign descriptors to the nearest word by Hamming
+distance, recompute each word as the per-bit majority of its cluster. Flat
+V-word quantization is a dense (N x V) popcount contraction — exactly what the
+VPU is good at — so no tree traversal is needed.
+
+The codebook can be trained on the fly from the first keyframes of the
+sequence (the reference's vocabulary is dataset-specific anyway: TUM FAST-BRIEF).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rgbdslam_tpu.ops import hamming
+
+
+def quantize(desc: jnp.ndarray, words: jnp.ndarray,
+             valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Nearest-word ids (N,) for descriptors (N, 8) against words (V, 8)."""
+    d = hamming.hamming_distance_matrix(desc, words, valid1=valid)
+    return jnp.argmin(d, axis=1).astype(jnp.int32)
+
+
+def _unpack_bits(desc: jnp.ndarray) -> jnp.ndarray:
+    """(N, 8) uint32 -> (N, 256) float32 bits."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (desc[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+    return bits.reshape(desc.shape[0], -1).astype(jnp.float32)
+
+
+def _pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
+    """(V, 256) bool -> (V, 8) uint32."""
+    v = bits.shape[0]
+    b = bits.reshape(v, 8, 32).astype(jnp.uint32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(b << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def train_codebook(
+    desc: jnp.ndarray,
+    valid: jnp.ndarray,
+    vocab_size: int = 1024,
+    iters: int = 8,
+    key: jnp.ndarray | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """k-majority clustering of training descriptors.
+
+    Args:
+      desc: (N, 8) uint32 training descriptors.
+      valid: (N,) bool mask.
+      vocab_size: number of words V.
+      iters: Lloyd iterations.
+    Returns (words (V, 8) uint32, idf (V,) f32) — idf from the training
+    corpus word frequencies (tf-idf scoring, as DBoW3's default).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n = desc.shape[0]
+    # init: random valid descriptors as seeds
+    logits = jnp.where(valid, 0.0, -jnp.inf)
+    any_valid = jnp.any(valid)
+    logits = jnp.where(any_valid, logits, jnp.zeros_like(logits))
+    seed_idx = jax.random.categorical(key, logits, shape=(vocab_size,))
+    words = desc[seed_idx]
+
+    bits = _unpack_bits(desc)  # (N, 256)
+    wmask = valid.astype(jnp.float32)
+
+    def step(words, _):
+        assign = quantize(desc, words, valid)  # (N,)
+        onehot = jax.nn.one_hot(assign, vocab_size, dtype=jnp.float32) * wmask[:, None]
+        counts = onehot.sum(axis=0)  # (V,)
+        bit_sums = onehot.T @ bits   # (V, 256)
+        maj = bit_sums > 0.5 * counts[:, None]
+        new_words = _pack_bits(maj)
+        # keep empty clusters' previous words
+        new_words = jnp.where((counts > 0)[:, None], new_words, words)
+        return new_words, counts
+
+    words, counts = jax.lax.scan(lambda w, x: step(w, x), words, None, length=iters)[0], None
+    # final assignment for idf
+    assign = quantize(desc, words, valid)
+    onehot = jax.nn.one_hot(assign, vocab_size, dtype=jnp.float32) * wmask[:, None]
+    df = onehot.sum(axis=0)
+    n_valid = jnp.maximum(wmask.sum(), 1.0)
+    idf = jnp.log(n_valid / (1.0 + df))
+    idf = jnp.maximum(idf, 0.0)
+    return words, idf

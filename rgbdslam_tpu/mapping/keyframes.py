@@ -1,0 +1,76 @@
+"""Keyframe store: the map's keyframe side as bounded arrays.
+
+TPU-native Core/Map.{h,cpp} (keyframe half): instead of a mutex-guarded
+std::map of Frame pointers (Core/Map.cpp:10-132), keyframes live in
+preallocated host arrays (descriptors, 3D points, validity, poses) from which
+device batches are sliced for backend work (proximity matching, loop
+verification, pose-graph solves). Single-writer host orchestrator — no locks.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from rgbdslam_tpu.frontend.frame import FrameFeatures
+
+
+class KeyframeStore:
+    def __init__(self, max_keyframes: int, num_features: int):
+        self.max_keyframes = max_keyframes
+        self.n_feat = num_features
+        K, N = max_keyframes, num_features
+        self.desc = np.zeros((K, N, 8), dtype=np.uint32)
+        self.xyz = np.zeros((K, N, 3), dtype=np.float32)
+        self.obs_valid = np.zeros((K, N), dtype=bool)
+        self.uv = np.zeros((K, N, 2), dtype=np.float32)
+        self.intensity = np.zeros((K, N), dtype=np.float32)
+        self.poses_cw = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+        self.timestamps = np.zeros((K,), dtype=np.float64)
+        self.count = 0
+
+    def add(self, timestamp: float, f: FrameFeatures, Tcw: np.ndarray) -> int:
+        """Insert a keyframe; returns its index (Map::addKeyFrame,
+        Core/Map.cpp analog)."""
+        if self.count >= self.max_keyframes:
+            raise RuntimeError(
+                f"keyframe budget exceeded ({self.max_keyframes}); raise "
+                "KeyframeConfig.max_keyframes"
+            )
+        k = self.count
+        self.desc[k] = np.asarray(f.desc)
+        self.xyz[k] = np.asarray(f.xyz)
+        self.obs_valid[k] = np.asarray(f.obs_valid)
+        self.uv[k] = np.asarray(f.uv_undist)
+        self.intensity[k] = np.asarray(f.intensity)
+        self.poses_cw[k] = np.asarray(Tcw, dtype=np.float32)
+        self.timestamps[k] = timestamp
+        self.count += 1
+        return k
+
+    # ------------------------------------------------------------------
+    def centers(self) -> np.ndarray:
+        """Camera centers Ow = -R^T t of the first `count` KFs
+        (Frame::getCameraCenter analog)."""
+        K = self.count
+        R = self.poses_cw[:K, :3, :3]
+        t = self.poses_cw[:K, :3, 3]
+        return -np.einsum("kji,kj->ki", R, t)
+
+    def nearest(self, k: int, radius: float, max_candidates: int) -> List[int]:
+        """Masked brute-force radius search over KF centers — replaces the
+        PCL kd-tree (Solver/PoseGraph.cpp:157-184): K is small, O(K) on
+        arrays beats building a tree."""
+        c = self.centers()
+        d = np.linalg.norm(c - c[k], axis=-1)
+        d[k] = np.inf
+        idx = np.where(d <= radius)[0]
+        idx = idx[np.argsort(d[idx])]
+        return idx[:max_candidates].tolist()
+
+    def set_poses(self, poses_cw: np.ndarray):
+        self.poses_cw[: len(poses_cw)] = poses_cw.astype(np.float32)
+
+    def features_of(self, k: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        return self.desc[k], self.xyz[k], self.obs_valid[k]

@@ -1,0 +1,196 @@
+"""Dense FAST corner detection + Shi-Tomasi scoring + grid NMS, fully
+vectorized for TPU.
+
+TPU-native re-design of the reference's SVO-style detector
+(Features/SVOextractor.cpp:79-133): instead of libfast's sequential
+`fast_corner_detect_10` + per-corner Shi-Tomasi + per-cell occupancy loop, we
+compute, per pyramid level, a *dense* FAST-10 segment-test mask and a dense
+Shi-Tomasi min-eigenvalue map (separable convs on the VPU), 3x3 non-max
+suppression, and a best-per-grid-cell reduction — then merge levels and select
+the top-N cells into a fixed keypoint budget. Data-dependent keypoint counts
+become a validity mask over N static slots.
+
+Design divergences from the reference (documented, behavior-preserving):
+- 3x3 NMS ranks by Shi-Tomasi score instead of the libfast corner score
+  (Features/SVOextractor.cpp:106-108); the subsequent per-cell argmax is by
+  Shi-Tomasi in both.
+- Shi-Tomasi uses a symmetric (2r+1)^2 window (r=4) instead of the reference's
+  8x8 window anchored at [u-4, u+4) (Features/SVOextractor.cpp:46-70).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rgbdslam_tpu.ops import image as image_ops
+
+# Bresenham circle of radius 3 — the 16 FAST ring offsets (dx, dy), clockwise
+# from 12 o'clock (same ring as libfast / OpenCV FAST).
+FAST_RING = np.array(
+    [
+        (0, -3), (1, -3), (2, -2), (3, -1),
+        (3, 0), (3, 1), (2, 2), (1, 3),
+        (0, 3), (-1, 3), (-2, 2), (-3, 1),
+        (-3, 0), (-3, -1), (-2, -2), (-1, -3),
+    ],
+    dtype=np.int32,
+)
+
+
+def fast_corner_mask(img: jnp.ndarray, threshold: float, arc: int = 10) -> jnp.ndarray:
+    """Dense FAST segment test: True where >= `arc` contiguous ring pixels are
+    all brighter than center+t or all darker than center-t.
+
+    Equivalent decision rule to libfast's fast_corner_detect_10
+    (Features/SVOextractor.cpp:101-102), evaluated at every pixel at once.
+    """
+    h, w = img.shape
+    center = img
+    ring = []
+    for dx, dy in FAST_RING:
+        # shift so that ring[k][y, x] = img[y+dy, x+dx]; out-of-range pixels
+        # are replicated (border rows are masked out below anyway).
+        shifted = jnp.roll(img, shift=(-dy, -dx), axis=(0, 1))
+        ring.append(shifted)
+    ring = jnp.stack(ring, axis=0)  # (16, H, W)
+
+    brighter = ring > (center + threshold)[None]
+    darker = ring < (center - threshold)[None]
+
+    def has_arc(flags: jnp.ndarray) -> jnp.ndarray:
+        # wrap-around: concatenate first arc-1 entries, then AND over each
+        # window of `arc` consecutive ring positions.
+        ext = jnp.concatenate([flags, flags[: arc - 1]], axis=0)  # (16+arc-1, H, W)
+        out = jnp.zeros(flags.shape[1:], dtype=bool)
+        for s in range(16):
+            window = ext[s : s + arc]
+            out = out | jnp.all(window, axis=0)
+        return out
+
+    mask = has_arc(brighter) | has_arc(darker)
+    # invalidate the 3-pixel border (ring reads wrap there)
+    yy = jnp.arange(h)[:, None]
+    xx = jnp.arange(w)[None, :]
+    interior = (yy >= 3) & (yy < h - 3) & (xx >= 3) & (xx < w - 3)
+    return mask & interior
+
+
+def shi_tomasi_map(img: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
+    """Dense Shi-Tomasi min-eigenvalue score (SVO ShiTomasiScore semantics,
+    Features/SVOextractor.cpp:39-77: central-difference gradients, box sum,
+    normalization by 2*box_area)."""
+    dx, dy = image_ops.sobel_gradients(img)
+    area = float((2 * radius + 1) ** 2)
+    dxx = image_ops.box_filter_sum(dx * dx, radius) / (2.0 * area)
+    dyy = image_ops.box_filter_sum(dy * dy, radius) / (2.0 * area)
+    dxy = image_ops.box_filter_sum(dx * dy, radius) / (2.0 * area)
+    tr = dxx + dyy
+    det_term = jnp.sqrt(jnp.maximum((dxx - dyy) ** 2 + 4.0 * dxy * dxy, 0.0))
+    return 0.5 * (tr - det_term)
+
+
+def nms3x3(score: jnp.ndarray) -> jnp.ndarray:
+    """True where score is the strict max of its 3x3 neighborhood
+    (libfast fast_nonmax_3x3 analog, Features/SVOextractor.cpp:108)."""
+    neighborhood_max = jax.lax.reduce_window(
+        score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+    )
+    return score >= neighborhood_max
+
+
+class Keypoints(NamedTuple):
+    """Fixed-budget keypoint set (level-0 pixel coords)."""
+
+    uv: jnp.ndarray       # (N, 2) float32 — (u=x, v=y) at level 0
+    level: jnp.ndarray    # (N,) int32 pyramid level
+    score: jnp.ndarray    # (N,) float32 Shi-Tomasi response
+    valid: jnp.ndarray    # (N,) bool
+
+
+def detect_keypoints(
+    pyramid: List[jnp.ndarray],
+    num_features: int,
+    cell_size: int,
+    fast_threshold: float,
+    min_response: float,
+    min_border: int,
+) -> Keypoints:
+    """Multi-level FAST detection with best-per-cell grid NMS into N slots.
+
+    Mirrors SVOextractor::detect (Features/SVOextractor.cpp:79-133): per level,
+    FAST-10 + 3x3 NMS + Shi-Tomasi; one winner per `cell_size` grid cell across
+    all levels; final response gate `min_response`.
+    """
+    h0, w0 = pyramid[0].shape
+    grid_rows = h0 // cell_size
+    grid_cols = w0 // cell_size
+    n_cells = grid_rows * grid_cols
+
+    best_score = jnp.full((n_cells,), -jnp.inf, dtype=jnp.float32)
+    best_u = jnp.zeros((n_cells,), dtype=jnp.float32)
+    best_v = jnp.zeros((n_cells,), dtype=jnp.float32)
+    best_level = jnp.zeros((n_cells,), dtype=jnp.int32)
+
+    for lvl, img in enumerate(pyramid):
+        scale = 1 << lvl
+        cell_l = cell_size // scale
+        if cell_l < 1:
+            break
+        h, w = img.shape
+        corners = fast_corner_mask(img, fast_threshold)
+        score = shi_tomasi_map(img)
+        # NMS among corner pixels only (libfast's nonmax runs on the corner
+        # list, not the dense field): mask non-corners to -inf first.
+        corner_score = jnp.where(corners, score, -jnp.inf)
+        keep = corners & nms3x3(corner_score)
+        # border gate in level-0 coordinates
+        yy = jnp.arange(h, dtype=jnp.float32)[:, None] * scale
+        xx = jnp.arange(w, dtype=jnp.float32)[None, :] * scale
+        inb = (
+            (xx >= min_border)
+            & (xx < w0 - min_border)
+            & (yy >= min_border)
+            & (yy < h0 - min_border)
+        )
+        masked = jnp.where(keep & inb, score, -jnp.inf)
+
+        # best per (cell_l x cell_l) cell — crop to the cell-aligned region
+        hc, wc = grid_rows * cell_l, grid_cols * cell_l
+        tiles = masked[:hc, :wc].reshape(grid_rows, cell_l, grid_cols, cell_l)
+        tiles = tiles.transpose(0, 2, 1, 3).reshape(n_cells, cell_l * cell_l)
+        cell_max = tiles.max(axis=-1)
+        cell_arg = tiles.argmax(axis=-1).astype(jnp.int32)
+        py = cell_arg // cell_l
+        px = cell_arg % cell_l
+        cell_row = jnp.arange(n_cells, dtype=jnp.int32) // grid_cols
+        cell_col = jnp.arange(n_cells, dtype=jnp.int32) % grid_cols
+        u = ((cell_col * cell_l + px) * scale).astype(jnp.float32)
+        v = ((cell_row * cell_l + py) * scale).astype(jnp.float32)
+
+        better = cell_max > best_score
+        best_score = jnp.where(better, cell_max, best_score)
+        best_u = jnp.where(better, u, best_u)
+        best_v = jnp.where(better, v, best_v)
+        best_level = jnp.where(better, lvl, best_level)
+
+    valid_cell = best_score > min_response  # Features/SVOextractor.cpp:128
+    sel_scores = jnp.where(valid_cell, best_score, -jnp.inf)
+
+    k = min(num_features, n_cells)
+    top_scores, top_idx = jax.lax.top_k(sel_scores, k)
+    uv = jnp.stack([best_u[top_idx], best_v[top_idx]], axis=-1)
+    level = best_level[top_idx]
+    valid = jnp.isfinite(top_scores) & (top_scores > min_response)
+
+    if k < num_features:  # pad to the fixed budget
+        pad = num_features - k
+        uv = jnp.concatenate([uv, jnp.zeros((pad, 2), jnp.float32)])
+        level = jnp.concatenate([level, jnp.zeros((pad,), jnp.int32)])
+        top_scores = jnp.concatenate([top_scores, jnp.full((pad,), -jnp.inf)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+
+    return Keypoints(uv=uv, level=level, score=jnp.where(valid, top_scores, 0.0), valid=valid)

@@ -1,0 +1,112 @@
+"""Image ops: pyramid, blur, gradients, bilinear sampling.
+
+TPU-native equivalents of the OpenCV image plumbing the reference leans on:
+half-sampling pyramid (Features/SVOextractor.cpp:16-37,135-144), Gaussian blur
+before description (Features/ORBextractor.cpp:746), and the per-keypoint
+bilinear reads used by descriptor sampling. Everything is fused elementwise /
+reduce-window work that XLA maps onto the VPU; convolutions are expressed as
+separable depthwise convs.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def half_sample(img: jnp.ndarray) -> jnp.ndarray:
+    """2x2 average downsample (SVO halfSample, Features/SVOextractor.cpp:16-37)."""
+    h, w = img.shape
+    h2, w2 = h // 2, w // 2
+    x = img[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2)
+    return x.mean(axis=(1, 3))
+
+
+def build_pyramid(img: jnp.ndarray, levels: int) -> List[jnp.ndarray]:
+    """Half-sampling pyramid (Features/SVOextractor.cpp:135-144)."""
+    pyr = [img]
+    for _ in range(1, levels):
+        pyr.append(half_sample(pyr[-1]))
+    return pyr
+
+
+def _sep_conv(img: jnp.ndarray, kx: jnp.ndarray, ky: jnp.ndarray) -> jnp.ndarray:
+    """Separable 2D convolution with reflect padding (single-channel)."""
+    rx = (len(kx) - 1) // 2
+    ry = (len(ky) - 1) // 2
+    x = jnp.pad(img, ((ry, ry), (rx, rx)), mode="reflect")
+    x = x[None, None]  # NCHW
+    kyv = ky.reshape(1, 1, -1, 1).astype(img.dtype)
+    kxv = kx.reshape(1, 1, 1, -1).astype(img.dtype)
+    x = jax.lax.conv_general_dilated(x, kyv, (1, 1), "VALID")
+    x = jax.lax.conv_general_dilated(x, kxv, (1, 1), "VALID")
+    return x[0, 0]
+
+
+def gaussian_blur(img: jnp.ndarray, sigma: float = 2.0, radius: int = 3) -> jnp.ndarray:
+    """Gaussian blur (ORBextractor blurs 7x7 sigma 2 before describing,
+    Features/ORBextractor.cpp:746)."""
+    xs = np.arange(-radius, radius + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (xs / sigma) ** 2)
+    k /= k.sum()
+    k = jnp.asarray(k)
+    return _sep_conv(img, k, k)
+
+
+def sobel_gradients(img: jnp.ndarray):
+    """Central-difference gradients matching SVO's Shi-Tomasi gradient
+    (dx = I[x+1]-I[x-1], Features/SVOextractor.cpp:63-66)."""
+    dx = jnp.zeros_like(img)
+    dy = jnp.zeros_like(img)
+    dx = dx.at[:, 1:-1].set(img[:, 2:] - img[:, :-2])
+    dy = dy.at[1:-1, :].set(img[2:, :] - img[:-2, :])
+    return dx, dy
+
+
+def box_filter_sum(img: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Sum over a (2r+1)^2 window via reduce_window (VPU-friendly)."""
+    return jax.lax.reduce_window(
+        img,
+        0.0,
+        jax.lax.add,
+        (2 * radius + 1, 2 * radius + 1),
+        (1, 1),
+        "SAME",
+    )
+
+
+def bilinear_sample(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear interpolation at float pixel coords uv (..., 2) = (u=x, v=y).
+
+    Out-of-bounds coordinates are clamped.
+    """
+    h, w = img.shape
+    u = jnp.clip(uv[..., 0], 0.0, w - 1.0)
+    v = jnp.clip(uv[..., 1], 0.0, h - 1.0)
+    u0 = jnp.minimum(jnp.floor(u).astype(jnp.int32), w - 2)
+    v0 = jnp.minimum(jnp.floor(v).astype(jnp.int32), h - 2)
+    du = u - u0
+    dv = v - v0
+    u1 = u0 + 1
+    v1 = v0 + 1
+    i00 = img[v0, u0]
+    i01 = img[v0, u1]
+    i10 = img[v1, u0]
+    i11 = img[v1, u1]
+    return (
+        i00 * (1 - du) * (1 - dv)
+        + i01 * du * (1 - dv)
+        + i10 * (1 - du) * dv
+        + i11 * du * dv
+    )
+
+
+def nearest_sample(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor read at float pixel coords (clamped)."""
+    h, w = img.shape
+    u = jnp.clip(jnp.round(uv[..., 0]).astype(jnp.int32), 0, w - 1)
+    v = jnp.clip(jnp.round(uv[..., 1]).astype(jnp.int32), 0, h - 1)
+    return img[v, u]

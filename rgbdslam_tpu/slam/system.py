@@ -1,0 +1,175 @@
+"""Full SLAM system: tracking + pose-graph backend + loop closure.
+
+TPU-native re-design of the reference's 3-thread runtime (SURVEY.md §2.7
+P1-P4): the PoseGraph thread's polling loop (Solver/PoseGraph.cpp:59-103)
+becomes a synchronous, functional backend step invoked per keyframe — state
+handoff is explicit (arrays in, arrays out) instead of a mutex-guarded queue +
+cross-thread callback. The heavy work (pairwise matching, RANSAC verification,
+the Gauss-Newton graph solve, BoW scoring) runs as jitted device programs.
+
+Backend step per keyframe (updateGraph semantics, Solver/PoseGraph.cpp:105-126):
+  1. add vertex (Twc), odometry edge to the previous KF
+     (createEdgeWithReference, info=100*I, from-state measurement),
+  2. proximity edges: radius search over KF centers (0.5 m), candidates
+     verified by match (>=30) + RANSAC before a measured edge is added
+     (createLocalEdges, Solver/PoseGraph.cpp:128-184),
+  3. loop detection: gated (>=15 KFs since last loop), BoW candidates,
+     match threshold 0.2 * mean tracking inliers, RANSAC verification
+     (detectLoop, Solver/PoseGraph.cpp:245-287),
+  4. on a loop: optimize(20), write corrected poses back into the keyframe
+     store and the tracker (Tracking::correct / Frame::correctPose semantics).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rgbdslam_tpu.config import SlamConfig
+from rgbdslam_tpu.frontend.frame import FrameFeatures
+from rgbdslam_tpu.frontend.matcher import match_descriptors
+from rgbdslam_tpu.geometry.camera import Camera
+from rgbdslam_tpu.loop.detector import LoopDetector
+from rgbdslam_tpu.mapping.keyframes import KeyframeStore
+from rgbdslam_tpu.slam.tracking import Tracker
+from rgbdslam_tpu.solvers.pose_graph import PoseGraph
+from rgbdslam_tpu.solvers.ransac_se3 import ransac_se3
+
+
+class SlamSystem:
+    def __init__(self, cam: Camera, cfg: SlamConfig = SlamConfig(), seed: int = 0):
+        self.cam = cam
+        self.cfg = cfg
+        kf_cfg = cfg.keyframe
+        self.tracker = Tracker(cam, cfg, seed=seed)
+        self.store = KeyframeStore(kf_cfg.max_keyframes, cfg.extractor.num_features)
+        self.graph = PoseGraph(
+            kf_cfg.max_keyframes,
+            cfg.pose_graph.max_edges,
+            information=cfg.pose_graph.edge_information,
+            huber_delta=cfg.pose_graph.huber_delta,
+        )
+        self.loop_detector = LoopDetector(cfg.loop, kf_cfg.max_keyframes, seed=seed)
+        self.kfs_since_loop = 0
+        self.loops_closed = 0
+        self._key = jax.random.PRNGKey(seed + 12345)
+        self.tracker.on_keyframe = self._on_keyframe
+
+    # ------------------------------------------------------------------
+    def track(self, timestamp: float, gray, depth) -> np.ndarray:
+        return self.tracker.track(timestamp, gray, depth)
+
+    # ------------------------------------------------------------------
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _match_and_verify(self, i: int, j: int, min_matches: int):
+        """Match KF i against KF j and verify with RANSAC.
+
+        Returns (ok, T_ji, num_inliers): T_ji maps KF-i camera coords into
+        KF-j camera coords (RansacSE3 with F1=i, F2=j).
+        """
+        di, xi, vi = self.store.features_of(i)
+        dj, xj, vj = self.store.features_of(j)
+        m = match_descriptors(
+            jnp.asarray(di), jnp.asarray(vi), jnp.asarray(dj), jnp.asarray(vj),
+            self.cfg.matcher.nn_ratio,
+        )
+        n_matches = int(m.num_matches)
+        if n_matches < min_matches:
+            return False, None, 0
+        p1 = jnp.asarray(xi)
+        p2 = jnp.asarray(xj)[m.idx2]
+        z1 = jnp.maximum(p1[:, 2], 1e-6)
+        z2 = jnp.maximum(p2[:, 2], 1e-6)
+        w = jnp.where(m.valid, 1.0 / (z1 * z2), 0.0)
+        res = ransac_se3(p1, p2, w, m.valid, self._next_key(), self.cfg.ransac)
+        if not bool(res.success) or int(res.num_inliers) < min_matches:
+            return False, None, int(res.num_inliers)
+        return True, np.asarray(res.T21), int(res.num_inliers)
+
+    # ------------------------------------------------------------------
+    def _on_keyframe(self, k: int, timestamp: float, f: FrameFeatures,
+                     Tcw: np.ndarray):
+        store_k = self.store.add(timestamp, f, Tcw)
+        assert store_k == k
+        Twc = np.linalg.inv(Tcw)
+        vk = self.graph.add_vertex(Twc)
+        assert vk == k
+        self.kfs_since_loop += 1
+
+        connections = set()
+        if k > 0:
+            # odometry edge (createEdgeWithReference)
+            self.graph.add_odometry_edge(k, k - 1)
+            connections.add(k - 1)
+
+        # proximity edges (createLocalEdges)
+        pg_cfg = self.cfg.pose_graph
+        for j in self.store.nearest(k, pg_cfg.proximity_radius,
+                                    pg_cfg.max_proximity_candidates):
+            if self.graph.has_edge(k, j):
+                continue
+            ok, T_jk, _ = self._match_and_verify(j, k, pg_cfg.proximity_min_matches)
+            if not ok:
+                continue
+            # RansacSE3(F1=j, F2=k) yields T with p_k = T p_j = T_{k<-j};
+            # edge (a=k, b=j) needs Z = T_{a<-b} in Twc-vertex convention:
+            # Z = X_k^-1 X_j = Tcw_k Twc_j = T_{k<-j}. Matches the reference
+            # wiring (Solver/PoseGraph.cpp:147-153).
+            self.graph.add_edge(k, j, T_jk)
+            connections.add(j)
+            self.loop_detector.connect(k, j)
+
+        self.loop_detector.add(np.asarray(f.desc), np.asarray(f.obs_valid),
+                               connections)
+
+        # loop detection (detectLoop)
+        if self.kfs_since_loop >= self.cfg.loop.min_kfs_since_loop:
+            if self._detect_and_close_loop(k):
+                self.kfs_since_loop = 0
+
+    def _detect_and_close_loop(self, k: int) -> bool:
+        th = max(
+            int(self.tracker.stats.mean_inliers * self.cfg.loop.match_fraction),
+            self.cfg.ransac.min_inliers,
+        )
+        for j in self.loop_detector.candidates(k):
+            if self.graph.has_edge(k, j):
+                continue
+            ok, T_jk, _ = self._match_and_verify(j, k, th)
+            if not ok:
+                continue
+            self.graph.add_edge(k, j, T_jk)
+            self.loop_detector.connect(k, j)
+            self._optimize(self.cfg.pose_graph.opt_iters_loop)
+            self.loops_closed += 1
+            return True
+        return False
+
+    # ------------------------------------------------------------------
+    def _optimize(self, iterations: int):
+        """Global pose-graph optimization + pose write-back
+        (PoseGraph::optimize + Frame::correctPose + Tracking::correct)."""
+        Twc_opt = self.graph.optimize(iterations)
+        K = len(Twc_opt)
+        Tcw_opt = np.stack([np.linalg.inv(T).astype(np.float32) for T in Twc_opt])
+        self.store.set_poses(Tcw_opt)
+        self.tracker.apply_correction(Tcw_opt)
+
+    # ------------------------------------------------------------------
+    def finish(self):
+        """Drain + final optimization (PoseGraph::shutdown,
+        Solver/PoseGraph.cpp:407-418)."""
+        if self.graph.n_vertices > 5:
+            self._optimize(self.cfg.pose_graph.opt_iters_default)
+
+    def camera_trajectory(self):
+        return self.tracker.camera_trajectory()
+
+    def keyframe_trajectory(self):
+        return self.tracker.keyframe_trajectory()

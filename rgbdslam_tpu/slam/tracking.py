@@ -1,0 +1,255 @@
+"""Tracking: the SLAM state machine, host-orchestrated, device-computed.
+
+TPU-native System/Tracking.{h,cpp}: the per-frame hot path (feature build,
+matching, RANSAC, optional GICP) runs as jitted device programs; the host owns
+only the tiny data-dependent control flow (state machine, reference-frame
+bookkeeping, keyframe gate) and 4x4 pose composition, mirroring SURVEY.md §7's
+"keep control flow on host, jit the heavy steps".
+
+Pose convention: Tcw (world -> camera), as the reference (Core/Frame.cpp).
+VO estimates T21 (ref-camera -> cur-camera) and composes
+Tcw_cur = T21 @ Tcw_ref (Solver/SolverSE3.cpp:124-126).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rgbdslam_tpu.config import SlamConfig
+from rgbdslam_tpu.frontend.frame import FrameFeatures, build_frame_features
+from rgbdslam_tpu.frontend.matcher import gather_matched_points, match_frames
+from rgbdslam_tpu.geometry.camera import Camera
+from rgbdslam_tpu.solvers.icp import gicp_refine
+from rgbdslam_tpu.solvers.ransac_se3 import RansacResult, ransac_se3
+
+
+class TrackerState(enum.Enum):
+    NOT_INITIALIZED = 0   # System/Tracking.h:23-27
+    OK = 1
+    LOST = 2
+
+
+@dataclass
+class TrackedFrame:
+    """Host-side per-frame record (trajectory bookkeeping,
+    System/Tracking.cpp:249-256)."""
+
+    timestamp: float
+    Tcw: np.ndarray                 # (4, 4)
+    Tcr: np.ndarray                 # pose relative to reference KF
+    ref_kf_index: int               # index into the keyframe list
+    num_inliers: int = 0
+
+
+@dataclass
+class TrackStats:
+    frames: int = 0
+    failures: int = 0
+    acum_inliers: int = 0
+
+    @property
+    def mean_inliers(self) -> int:
+        return self.acum_inliers // max(self.frames, 1)
+
+
+class Tracker:
+    """Frame-to-frame visual odometry + keyframe selection.
+
+    The backend (pose graph / loop closure) subscribes via `on_keyframe`; after
+    a global optimization it calls `apply_correction` — the functional
+    equivalent of the reference's cross-thread Tracking::correct callback
+    (System/Tracking.cpp:165-193 / Solver/PoseGraph.cpp:72).
+    """
+
+    def __init__(self, cam: Camera, cfg: SlamConfig = SlamConfig(), seed: int = 0):
+        self.cam = cam
+        self.cfg = cfg
+        self.state = TrackerState.NOT_INITIALIZED
+        self.stats = TrackStats()
+        self._key = jax.random.PRNGKey(seed)
+
+        # reference frames (mpRefFrame.first / .second, System/Tracking.cpp:59-60)
+        self.ref_frame: Optional[FrameFeatures] = None
+        self.ref2_frame: Optional[FrameFeatures] = None
+        self.ref_Tcw = np.eye(4, dtype=np.float32)
+        self.ref2_Tcw = np.eye(4, dtype=np.float32)
+
+        # keyframes: host registry (features + poses); device-side stores for
+        # the backend live in mapping/keyframes.py
+        self.keyframes: List[Tuple[float, FrameFeatures, np.ndarray]] = []
+        self.last_kf_Tcw = np.eye(4, dtype=np.float32)
+        self.trajectory: List[TrackedFrame] = []
+        self.velocity = np.eye(4, dtype=np.float32)  # motion model (Tracking.cpp:54)
+        self.on_keyframe = None  # callback(kf_index, timestamp, features, Tcw)
+
+    # ------------------------------------------------------------------
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _estimate(self, ref: FrameFeatures, cur: FrameFeatures) -> RansacResult:
+        m = match_frames(ref, cur, self.cfg.matcher.nn_ratio)
+        p1, p2, w, valid = gather_matched_points(ref, cur, m)
+        return ransac_se3(p1, p2, w, valid, self._next_key(), self.cfg.ransac), (
+            p1,
+            p2,
+            valid,
+        )
+
+    # ------------------------------------------------------------------
+    def track(self, timestamp: float, gray, depth) -> np.ndarray:
+        """Process one frame; returns Tcw (Tracking::track,
+        System/Tracking.cpp:39-75)."""
+        f = build_frame_features(self.cam, jnp.asarray(gray), jnp.asarray(depth),
+                                 self.cfg.extractor)
+
+        if self.state is TrackerState.NOT_INITIALIZED:
+            Tcw = np.eye(4, dtype=np.float32)
+            self._initialize(timestamp, f, Tcw)
+        else:
+            Tcw = self._visual_odometry(timestamp, f)
+
+        # keyframe policy + bookkeeping
+        if self.state is TrackerState.OK and len(self.keyframes) > 0:
+            if self._need_keyframe(Tcw):
+                self._create_keyframe(timestamp, f, Tcw)
+
+        ref_kf_idx = len(self.keyframes) - 1
+        kf_Tcw = self.keyframes[ref_kf_idx][2]
+        Tcr = Tcw @ np.linalg.inv(kf_Tcw)  # System/Tracking.cpp:252
+        self.trajectory.append(
+            TrackedFrame(timestamp, Tcw.copy(), Tcr, ref_kf_idx, self._last_inliers)
+        )
+        return Tcw
+
+    # ------------------------------------------------------------------
+    def _initialize(self, timestamp: float, f: FrameFeatures, Tcw: np.ndarray):
+        """First frame: identity pose + first keyframe
+        (System/Tracking.cpp:97-119; landmark creation is handled by the
+        mapping layer on keyframe insertion)."""
+        self.ref_frame = f
+        self.ref2_frame = f
+        self.ref_Tcw = Tcw.copy()
+        self.ref2_Tcw = Tcw.copy()
+        self._last_inliers = 0
+        self._create_keyframe(timestamp, f, Tcw)
+        self.state = TrackerState.OK
+
+    def _visual_odometry(self, timestamp: float, f: FrameFeatures) -> np.ndarray:
+        """Frame-to-frame VO with second-reference retry and GICP refinement
+        (System/Tracking.cpp:121-163)."""
+        (res, pts), ref_Tcw = self._estimate(self.ref_frame, f), self.ref_Tcw
+        success = bool(res.success)
+
+        if not success and self.ref2_frame is not None:
+            # anti-drift hover heuristic (System/Tracking.cpp:136-143)
+            (res, pts), ref_Tcw = self._estimate(self.ref2_frame, f), self.ref2_Tcw
+            success = bool(res.success)
+
+        if success and self.cfg.use_icp_refinement and float(res.rmse) >= self.cfg.icp.rmse_trigger:
+            # GICP refinement on the matched sets (System/Tracking.cpp:145-151)
+            p1, p2, valid = pts
+            T_ref, converged, _ = gicp_refine(p1, p2, res.inliers, res.T21,
+                                              None, self.cfg.icp)
+            if bool(converged):
+                res = res.replace(T21=T_ref)
+            else:
+                success = False
+
+        n_inl = int(res.num_inliers) if success else 0
+        self._last_inliers = n_inl
+        self.stats.frames += 1
+        self.stats.acum_inliers += n_inl
+
+        if success:
+            T21 = np.asarray(res.T21)
+            Tcw = (T21 @ ref_Tcw).astype(np.float32)
+        else:
+            # recover(): hold the reference pose (System/Tracking.cpp:195-199)
+            self.stats.failures += 1
+            Tcw = self.ref_Tcw.copy()
+
+        # motion model (System/Tracking.cpp:54)
+        self.velocity = Tcw @ np.linalg.inv(self.ref_Tcw)
+        # slide references (System/Tracking.cpp:59-60)
+        self.ref2_frame, self.ref2_Tcw = self.ref_frame, self.ref_Tcw
+        self.ref_frame, self.ref_Tcw = f, Tcw.copy()
+        return Tcw
+
+    # ------------------------------------------------------------------
+    def _need_keyframe(self, Tcw: np.ndarray) -> bool:
+        """>0.20 m or >10 deg accumulated motion since the last KF
+        (System/Tracking.cpp:213-225)."""
+        delta = np.linalg.inv(Tcw) @ self.last_kf_Tcw
+        tn = float(np.linalg.norm(delta[:3, 3]))
+        c = np.clip(0.5 * (np.trace(delta[:3, :3]) - 1.0), -1.0, 1.0)
+        rn = float(np.arccos(c))
+        kf_cfg = self.cfg.keyframe
+        return tn > kf_cfg.min_translation or rn > kf_cfg.min_rotation
+
+    def _create_keyframe(self, timestamp: float, f: FrameFeatures, Tcw: np.ndarray):
+        """Register a keyframe and notify the backend
+        (System/Tracking.cpp:227-240; BoW + cloud building happen in the
+        backend/mapping layers)."""
+        self.keyframes.append((timestamp, f, Tcw.copy()))
+        self.last_kf_Tcw = Tcw.copy()
+        if self.on_keyframe is not None:
+            self.on_keyframe(len(self.keyframes) - 1, timestamp, f, Tcw.copy())
+
+    # ------------------------------------------------------------------
+    def apply_correction(self, kf_poses: np.ndarray, relocalize: bool = True):
+        """Pull optimized KF poses back in after a loop closure.
+
+        kf_poses: (K, 4, 4) optimized Tcw for the first K keyframes. The
+        reference re-localizes the current frame against the latest distinct
+        KF (Tracking::correct, System/Tracking.cpp:165-193); here the
+        functional handoff re-anchors the live reference poses through the
+        last keyframe's correction.
+        """
+        k = len(self.keyframes)
+        kf_poses = np.asarray(kf_poses)[:k]
+        old_last = self.keyframes[-1][2]
+        new_last = kf_poses[len(self.keyframes) - 1]
+        self.keyframes = [
+            (ts, f, kf_poses[i].astype(np.float32))
+            for i, (ts, f, _) in enumerate(self.keyframes)
+        ]
+        self.last_kf_Tcw = self.keyframes[-1][2]
+        if relocalize:
+            # re-anchor the live reference poses through the last KF's
+            # correction: Tcw_ref' = (Tcw_ref @ Tkf^-1_old) @ Tkf_new
+            self.ref_Tcw = (self.ref_Tcw @ np.linalg.inv(old_last) @ new_last).astype(np.float32)
+            self.ref2_Tcw = (self.ref2_Tcw @ np.linalg.inv(old_last) @ new_last).astype(np.float32)
+
+    # ------------------------------------------------------------------
+    def camera_trajectory(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Full camera trajectory replayed through (possibly optimized) KF
+        poses, rebased to KF0 (saveCameraTrajectory semantics,
+        System/Tracking.cpp:286-317).
+
+        Returns (timestamps [N], poses Twc [N, 4, 4]).
+        """
+        if not self.trajectory:
+            return np.zeros((0,)), np.zeros((0, 4, 4), np.float32)
+        Two = np.linalg.inv(self.keyframes[0][2])
+        ts, poses = [], []
+        for fr in self.trajectory:
+            Trw = self.keyframes[fr.ref_kf_index][2] @ Two
+            Tcw = fr.Tcr @ Trw
+            Twc = np.linalg.inv(Tcw)
+            ts.append(fr.timestamp)
+            poses.append(Twc.astype(np.float32))
+        return np.asarray(ts), np.stack(poses)
+
+    def keyframe_trajectory(self) -> Tuple[np.ndarray, np.ndarray]:
+        """KF trajectory as Twc (saveKeyFrameTrajectory,
+        System/Tracking.cpp:270-284)."""
+        ts = np.asarray([k[0] for k in self.keyframes])
+        poses = np.stack([np.linalg.inv(k[2]).astype(np.float32) for k in self.keyframes])
+        return ts, poses

@@ -1,0 +1,202 @@
+"""Batched 3D-3D RANSAC rigid registration with the RGB-D Mahalanobis noise
+model — the TPU-native RansacSE3 (Solver/SolverSE3.cpp).
+
+Re-design for TPU (SURVEY.md §7 layer 5): the reference runs up to 200
+sequential iterations, each sampling 4 matches, fitting a weighted rigid
+transform, and refining until the inlier set stabilizes, with early-exit
+heuristics (Solver/SolverSE3.cpp:54-103). Under XLA we instead:
+
+1. draw H hypotheses at once (categorical sampling over the valid-match mask),
+2. fit all H transforms in parallel (vmapped weighted Horn/Kabsch),
+3. score all H x N Mahalanobis residuals in one fused contraction,
+4. pick the best hypothesis by (inlier count, error) lexicographic rank,
+5. run a fixed number of masked full-inlier refinement re-fits
+   (the reference's refine-until-stable loop, Solver/SolverSE3.cpp:61-84).
+
+Hypothesis slot 0 is pinned to the identity transform, subsuming the
+reference's identity fallback (Solver/SolverSE3.cpp:105-117).
+
+Noise model (Solver/SolverSE3.cpp:216-297, Khoshelham): per-axis covariance
+diag(raster_cov_x * z, raster_cov_y * z, (c * z^2)^2). Two deliberate
+divergences from the reference code, documented:
+- the reference's depthCovariance caches the FIRST depth's covariance in a
+  C++ function-local static (Solver/SolverSE3.cpp:282-287) — we compute it
+  per point as intended;
+- the reference conjugates the covariance with R^T Σ R
+  (Solver/SolverSE3.cpp:264); the correct frame change is R Σ R^T, which we
+  use.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from rgbdslam_tpu.config import RansacConfig
+from rgbdslam_tpu.geometry import se3
+from rgbdslam_tpu.solvers.kabsch import weighted_rigid_transform
+
+
+@struct.dataclass
+class RansacResult:
+    T21: jnp.ndarray          # (4, 4) best transform frame1 -> frame2 coords
+    inliers: jnp.ndarray      # (N,) bool final inlier mask
+    num_inliers: jnp.ndarray  # () int32
+    rmse: jnp.ndarray         # () f32 sqrt(mean mahalanobis^2) over inliers
+    success: jnp.ndarray      # () bool num_inliers >= min_inliers
+
+
+def _sigma_diag(z: jnp.ndarray, cfg: RansacConfig) -> jnp.ndarray:
+    """Per-point diagonal covariance (..., 3) of the RGB-D noise model."""
+    rx = 3.0 * math.tan(math.radians(cfg.cam_angle_x) / cfg.cam_resol_x)
+    ry = 3.0 * math.tan(math.radians(cfg.cam_angle_y) / cfg.cam_resol_y)
+    raster_cov_x = rx * rx
+    raster_cov_y = ry * ry
+    sz = cfg.depth_std_factor * z * z
+    return jnp.stack([raster_cov_x * z, raster_cov_y * z, sz * sz], axis=-1)
+
+
+def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form batched 3x3 inverse (adjugate / det)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    co_a = e * i - f * h
+    co_b = -(d * i - f * g)
+    co_c = d * h - e * g
+    det = a * co_a + b * co_b + c * co_c
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([co_a, -(b * i - c * h), b * f - c * e], axis=-1),
+            jnp.stack([co_b, a * i - c * g, -(a * f - c * d)], axis=-1),
+            jnp.stack([co_c, -(a * h - b * g), a * e - b * d], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[..., None, None]
+
+
+def mahalanobis_sq(
+    T21: jnp.ndarray, p1: jnp.ndarray, p2: jnp.ndarray, cfg: RansacConfig
+) -> jnp.ndarray:
+    """Squared Mahalanobis distance of each correspondence under T21.
+
+    T21: (..., 4, 4); p1, p2: (N, 3) camera-frame points.
+    Returns (..., N). Mirrors errorFunction2 (Solver/SolverSE3.cpp:216-280).
+    """
+    R = T21[..., :3, :3]
+    t = T21[..., :3, 3]
+    mu1_in_2 = jnp.einsum("...ij,nj->...ni", R, p1) + t[..., None, :]
+    delta = mu1_in_2 - p2  # (..., N, 3)
+
+    s1 = _sigma_diag(p1[:, 2], cfg)  # (N, 3)
+    s2 = _sigma_diag(p2[:, 2], cfg)
+    eye = jnp.eye(3, dtype=delta.dtype)
+    cov1 = s1[:, :, None] * eye      # (N, 3, 3) diagonal
+    cov2 = s2[:, :, None] * eye
+    # rotate cov1 into frame 2: R diag(s1) R^T  (correct conjugation)
+    cov1_in_2 = jnp.einsum("...ij,njk,...lk->...nil", R, cov1, R)
+    cov = cov1_in_2 + cov2           # (..., N, 3, 3)
+    sol = jnp.einsum("...nij,...nj->...ni", _inv3x3(cov), delta)
+    m2 = jnp.sum(delta * sol, axis=-1)
+    return jnp.maximum(m2, 0.0)
+
+
+def _score(
+    T: jnp.ndarray,
+    p1: jnp.ndarray,
+    p2: jnp.ndarray,
+    valid: jnp.ndarray,
+    cfg: RansacConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Inlier mask, count and error for transforms T (..., 4, 4)."""
+    m2 = mahalanobis_sq(T, p1, p2, cfg)  # (..., N)
+    th = cfg.max_mahalanobis * cfg.max_mahalanobis
+    inl = (m2 <= th) & valid
+    cnt = jnp.sum(inl, axis=-1)
+    err_sum = jnp.sum(jnp.where(inl, m2, 0.0), axis=-1)
+    # meanError semantics (Solver/SolverSE3.cpp:206-213): <3 inliers -> huge
+    rmse = jnp.where(
+        cnt >= 3, jnp.sqrt(err_sum / jnp.maximum(cnt, 1)), 1e9
+    )
+    return inl, cnt, rmse
+
+
+@functools.partial(jax.jit, static_argnums=(5,))
+def ransac_se3(
+    p1: jnp.ndarray,
+    p2: jnp.ndarray,
+    w: jnp.ndarray,
+    valid: jnp.ndarray,
+    key: jnp.ndarray,
+    cfg: RansacConfig = RansacConfig(),
+) -> RansacResult:
+    """Estimate T21 with p2 ~= T21 * p1 from masked correspondences.
+
+    Args:
+      p1, p2: (N, 3) matched camera-frame points (frame1, frame2).
+      w: (N,) fit weights — the reference uses 1/(z1*z2)
+         (Solver/SolverSE3.cpp:174); zero for invalid slots.
+      valid: (N,) bool usable correspondences.
+      key: PRNG key (replaces the reference's time-seeded rand(),
+         System/Random.cpp:7-20 — runs here are reproducible).
+      cfg: static RansacConfig.
+    """
+    n = p1.shape[0]
+    H, S = cfg.num_hypotheses, cfg.sample_size
+
+    logits = jnp.where(valid, 0.0, -jnp.inf)
+    # (H, S) indices of sampled matches; degenerate/duplicate draws simply
+    # produce low-scoring hypotheses. If nothing is valid, sampling returns
+    # arbitrary indices and `success` below is False anyway.
+    any_valid = jnp.any(valid)
+    safe_logits = jnp.where(any_valid, logits, jnp.zeros_like(logits))
+    idx = jax.random.categorical(key, safe_logits, shape=(H, S))
+
+    sp1 = p1[idx]                      # (H, S, 3)
+    sp2 = p2[idx]
+    sw = w[idx] * valid[idx]           # (H, S)
+    T_h = weighted_rigid_transform(sp1, sp2, sw)  # (H, 4, 4)
+    # hypothesis 0 = identity (identity fallback, Solver/SolverSE3.cpp:105-117)
+    T_h = T_h.at[0].set(jnp.eye(4, dtype=T_h.dtype))
+
+    inl_h, cnt_h, rmse_h = _score(T_h, p1, p2, valid, cfg)
+    # lexicographic best: max inliers, then min error
+    rank = cnt_h.astype(jnp.float32) * 1e4 - jnp.minimum(rmse_h, 9e3)
+    best = jnp.argmax(rank)
+    T_best = T_h[best]
+
+    # masked refinement re-fits on the full inlier set
+    # (Solver/SolverSE3.cpp:61-84 refine-until-stable, fixed-trip here)
+    def refine_step(carry, _):
+        T, _inl, _cnt, _rmse = carry
+        inl, cnt, rmse = _score(T, p1, p2, valid, cfg)
+        w_fit = w * inl.astype(w.dtype)
+        T_new = weighted_rigid_transform(p1, p2, w_fit)
+        inl2, cnt2, rmse2 = _score(T_new, p1, p2, valid, cfg)
+        # keep refinement only if it does not lose inliers (reference keeps
+        # refits with >= inliers and <= error, Solver/SolverSE3.cpp:72)
+        better = (cnt2 >= cnt) & (rmse2 <= rmse)
+        T_keep = jnp.where(better, T_new, T)
+        return (T_keep, jnp.where(better, inl2, inl), jnp.where(better, cnt2, cnt),
+                jnp.where(better, rmse2, rmse)), None
+
+    init = (T_best, inl_h[best], cnt_h[best], rmse_h[best])
+    (T_fin, inl_fin, cnt_fin, rmse_fin), _ = jax.lax.scan(
+        refine_step, init, None, length=cfg.refine_iters
+    )
+
+    success = (cnt_fin >= cfg.min_inliers) & any_valid
+    return RansacResult(
+        T21=T_fin,
+        inliers=inl_fin & success,
+        num_inliers=cnt_fin.astype(jnp.int32),
+        rmse=rmse_fin,
+        success=success,
+    )
