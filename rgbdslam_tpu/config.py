@@ -62,6 +62,15 @@ class RansacConfig:
     min_inliers: int = 10             # System/Tracking.cpp:129
     max_mahalanobis: float = 3.0      # Solver/SolverSE3.cpp:12
     refine_iters: int = 4             # inner refinement re-fits (reference: <=20, converges in ~3)
+    # Error-model selection — the PUT-style Ransac's 5 models
+    # (Solver/Ransac.h:15-19): 'mahalanobis' (the live RansacSE3 model),
+    # 'euclidean', 'adaptive_euclidean' (threshold grows with depth,
+    # Solver/Ransac.cpp:247-427), 'reprojection', 'both'
+    # (euclidean AND reprojection).
+    error_model: str = "mahalanobis"
+    inlier_threshold_m: float = 0.05      # euclidean threshold
+    reproj_threshold_px: float = 3.0      # reprojection threshold
+    adaptive_depth_coeff: float = 0.01    # euclidean th += coeff * mean(z)^2
     # RGB-D sensor noise model (Khoshelham), Solver/SolverSE3.cpp:216-297:
     cam_angle_x: float = 58.0         # deg FOV x (Solver/SolverSE3.cpp:218)
     cam_angle_y: float = 45.0         # deg FOV y (Solver/SolverSE3.cpp:219)
@@ -163,6 +172,13 @@ class SlamConfig:
     loop: LoopConfig = LoopConfig()
     use_icp_refinement: bool = True
     image_size: Tuple[int, int] = (480, 640)   # (H, W)
+    # local landmark-keyframe BA over a sliding window (a capability beyond
+    # the reference, SURVEY.md §7 layer 7 / BASELINE config 3)
+    use_local_ba: bool = False
+    ba_window: int = 5
+    ba_iterations: int = 4
+    max_landmarks: int = 16384
+    max_obs_per_landmark: int = 8
 
 
 DEFAULT_CONFIG = SlamConfig()

@@ -54,34 +54,44 @@ class FrameFeatures:
         return self.valid & self.has_depth
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 6))
 def build_frame_features(
     cam: Camera,
     gray: jnp.ndarray,
     depth: jnp.ndarray,
     cfg: ExtractorConfig = ExtractorConfig(),
     use_orientation: bool = False,
+    fast_threshold=None,
+    use_fast_gate: bool = True,
 ) -> FrameFeatures:
     """gray [H,W] f32 (0..255), depth [H,W] f32 meters -> FrameFeatures.
 
     Mirrors the frame-ingestion call stack (SURVEY.md §3.1) minus disk IO.
+    `fast_threshold` may be a traced scalar override (adaptive mode varies it
+    per frame without recompiling); `use_fast_gate=False` gives the
+    GFTT-style pure Shi-Tomasi detector.
     """
     pyramid = image_ops.build_pyramid(gray, cfg.num_levels)
     kp = fast_ops.detect_keypoints(
         pyramid,
         num_features=cfg.num_features,
         cell_size=cfg.cell_size,
-        fast_threshold=cfg.fast_threshold,
+        fast_threshold=(cfg.fast_threshold if fast_threshold is None
+                        else fast_threshold),
         min_response=cfg.min_response,
         min_border=cfg.min_border,
+        use_fast_gate=use_fast_gate,
     )
 
     blurred = image_ops.gaussian_blur(gray, sigma=2.0, radius=3)
     if use_orientation:
         angles = orb_ops.ic_angles(gray, kp.uv, radius=cfg.orientation_radius)
+        desc = orb_ops.brief_descriptors(blurred, kp.uv, angles,
+                                         cfg.brief_patch_size)
     else:
-        angles = None
-    desc = orb_ops.brief_descriptors(blurred, kp.uv, angles, cfg.brief_patch_size)
+        # upright BRIEF takes the dense bit-plane fast path (64x fewer gathers)
+        desc = orb_ops.brief_descriptors_dense(blurred, kp.uv,
+                                               cfg.brief_patch_size)
 
     # Depth lookup at the detected (distorted) coords, like the reference
     # (Core/Frame.cpp:91-117 reads mImDepth at mvKeys); unprojection uses the

@@ -45,19 +45,32 @@ def match_descriptors(
     desc2: jnp.ndarray,
     valid2: jnp.ndarray,
     ratio: float = 0.9,
+    backend: str = "auto",
 ) -> MatchResult:
-    """Core 2-NN ratio + mutual-dedup matching on packed descriptors."""
-    d = hamming.hamming_distance_matrix(desc1, desc2, valid1, valid2)
-    best_idx, best_dist, second_dist = hamming.knn2(d)
-    ratio_ok = best_dist.astype(jnp.float32) < ratio * second_dist.astype(jnp.float32)
+    """Core 2-NN ratio + mutual-nearest matching on packed descriptors.
 
-    # mutual-nearest train dedup: query i keeps (i -> j) iff i is the best
-    # query for train j among ratio-passing candidates
-    masked = jnp.where(ratio_ok[:, None], d, BIG_DIST)
-    col_best = jnp.argmin(masked, axis=0).astype(jnp.int32)  # (N2,)
+    backend: 'auto' (Pallas kernel on TPU, XLA elsewhere), 'xla', or
+    'pallas'. Both paths compute identical results: (i -> j) is kept iff j is
+    i's nearest train, i is j's nearest query (mutual-nearest dedup), and the
+    Lowe ratio passes.
+    """
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        from rgbdslam_tpu.ops.pallas_kernels import hamming_match_2nn
+
+        best_idx, best_dist, second_dist, col_best = hamming_match_2nn(
+            desc1, desc2, valid1, valid2
+        )
+    else:
+        d = hamming.hamming_distance_matrix(desc1, desc2, valid1, valid2)
+        best_idx, best_dist, second_dist = hamming.knn2(d)
+        col_best = jnp.argmin(d, axis=0).astype(jnp.int32)  # (N2,)
+
+    ratio_ok = best_dist.astype(jnp.float32) < ratio * second_dist.astype(jnp.float32)
     rows = jnp.arange(desc1.shape[0], dtype=jnp.int32)
     mutual = col_best[best_idx] == rows
-
     valid = ratio_ok & mutual & valid1 & (best_dist < BIG_DIST)
     return MatchResult(idx2=best_idx, dist=best_dist, valid=valid)
 

@@ -169,11 +169,11 @@ class SyntheticDataset:
     name = "SYNTH"
 
     def __init__(self, n_frames: int = 120, cam: Camera = SYNTHETIC,
-                 trajectory: str = "orbit", fps: float = 30.0):
+                 trajectory: str = "orbit", fps: float = 30.0, loops: float = 1.0):
         self.cam = cam
         self.fps = fps
         if trajectory == "orbit":
-            self.poses_twc = orbit_trajectory(n_frames)
+            self.poses_twc = orbit_trajectory(n_frames, loops=loops)
         elif trajectory == "sweep":
             self.poses_twc = sweep_trajectory(n_frames)
         else:

@@ -66,12 +66,28 @@ def train_codebook(
     if key is None:
         key = jax.random.PRNGKey(0)
     n = desc.shape[0]
-    # init: random valid descriptors as seeds
-    logits = jnp.where(valid, 0.0, -jnp.inf)
-    any_valid = jnp.any(valid)
-    logits = jnp.where(any_valid, logits, jnp.zeros_like(logits))
-    seed_idx = jax.random.categorical(key, logits, shape=(vocab_size,))
-    words = desc[seed_idx]
+
+    # maxmin (k-means++-style) init: greedily pick the valid descriptor
+    # farthest (Hamming) from the already-chosen seeds — random init collapses
+    # clusters when seeds double up.
+    first = jnp.argmax(valid)  # first valid descriptor
+
+    def pick(carry, _):
+        min_d, chosen_any = carry
+        idx = jnp.argmax(jnp.where(valid, min_d, -1))
+        w = desc[idx]
+        d_new = jnp.sum(
+            jax.lax.population_count(desc ^ w[None, :]), axis=-1
+        ).astype(jnp.int32)
+        return (jnp.minimum(min_d, d_new), chosen_any | True), w
+
+    d0 = jnp.sum(
+        jax.lax.population_count(desc ^ desc[first][None, :]), axis=-1
+    ).astype(jnp.int32)
+    (_, _), rest = jax.lax.scan(
+        pick, (d0, jnp.asarray(True)), None, length=vocab_size - 1
+    )
+    words = jnp.concatenate([desc[first][None], rest], axis=0)
 
     bits = _unpack_bits(desc)  # (N, 256)
     wmask = valid.astype(jnp.float32)

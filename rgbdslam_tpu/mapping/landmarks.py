@@ -1,0 +1,176 @@
+"""Landmark store: bounded landmark tracks feeding bundle adjustment.
+
+TPU-native Core/Landmark.{h,cpp} + the landmark half of Core/Map: the
+reference's Landmark objects hold a world position, a best descriptor, and an
+observation map KF->keypoint-index (Core/Landmark.cpp:43-74) — but are only
+created at initialization and never optimized (SURVEY.md §2.2). Here
+landmarks are first-class: fixed-budget arrays of positions + a landmark-major
+observation table (L, M_OBS) that is exactly the BAProblem layout of
+solvers/ba.py, so a window of the map can be bundle-adjusted with one device
+call.
+
+Track extension is association-by-matching: when keyframe k arrives, its
+keypoints are matched against keyframe k-1; matches extend the matched
+keypoint's track, unmatched keypoints with depth spawn new landmarks
+(generalizing Tracking::initialize's create-landmark-per-keypoint,
+System/Tracking.cpp:101-111).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+class LandmarkStore:
+    def __init__(self, max_landmarks: int = 16384, max_obs: int = 8,
+                 num_features: int = 1024):
+        self.L = max_landmarks
+        self.M = max_obs
+        self.Xw = np.zeros((self.L, 3), np.float32)
+        self.valid = np.zeros((self.L,), bool)
+        self.desc = np.zeros((self.L, 8), np.uint32)       # best descriptor
+        self.intensity = np.zeros((self.L,), np.float32)   # "color" (Landmark::setColor)
+        self.obs_kf = np.zeros((self.L, self.M), np.int32)
+        self.obs_uv = np.zeros((self.L, self.M, 2), np.float32)
+        self.obs_z = np.zeros((self.L, self.M), np.float32)   # measured depth
+        self.obs_valid = np.zeros((self.L, self.M), bool)
+        self.obs_count = np.zeros((self.L,), np.int32)
+        self.count = 0
+        # keypoint -> landmark assignment per keyframe (Frame's landmark
+        # slots, Core/Frame.cpp:641-651)
+        self.kp2lm: Dict[int, np.ndarray] = {}
+        self._n_feat = num_features
+
+    # ------------------------------------------------------------------
+    def _new_landmark(self, Xw, desc, intensity) -> int:
+        if self.count >= self.L:
+            return -1
+        l = self.count
+        self.Xw[l] = Xw
+        self.desc[l] = desc
+        self.intensity[l] = intensity
+        self.valid[l] = True
+        self.count += 1
+        return l
+
+    def _add_obs(self, l: int, kf: int, uv, z: float = 0.0) -> None:
+        c = self.obs_count[l]
+        if c >= self.M:
+            return
+        self.obs_kf[l, c] = kf
+        self.obs_uv[l, c] = uv
+        self.obs_z[l, c] = z
+        self.obs_valid[l, c] = True
+        self.obs_count[l] = c + 1
+
+    # ------------------------------------------------------------------
+    def add_keyframe(
+        self,
+        kf: int,
+        uv_undist: np.ndarray,     # (N, 2)
+        xyz_cam: np.ndarray,       # (N, 3)
+        obs_ok: np.ndarray,        # (N,) detected + valid depth
+        desc: np.ndarray,          # (N, 8)
+        intensity: np.ndarray,     # (N,)
+        Tcw: np.ndarray,           # (4, 4)
+        match_idx: Optional[np.ndarray] = None,    # (N_prev,) prev-kp -> this-kp
+        match_valid: Optional[np.ndarray] = None,  # (N_prev,)
+        prev_kf: Optional[int] = None,
+    ) -> np.ndarray:
+        """Register keyframe kf; returns kp->landmark assignment (N,)."""
+        n = len(uv_undist)
+        assign = np.full((n,), -1, np.int32)
+        Twc = np.linalg.inv(Tcw)
+
+        # extend tracks through matches from the previous keyframe
+        if match_idx is not None and prev_kf is not None and prev_kf in self.kp2lm:
+            prev_assign = self.kp2lm[prev_kf]
+            for i_prev in np.nonzero(match_valid)[0]:
+                j = int(match_idx[i_prev])
+                if not obs_ok[j]:
+                    continue
+                l = int(prev_assign[i_prev])
+                if l >= 0 and assign[j] < 0:
+                    self._add_obs(l, kf, uv_undist[j], float(xyz_cam[j, 2]))
+                    assign[j] = l
+
+        # spawn new landmarks for unassigned observations with depth
+        for j in np.nonzero(obs_ok)[0]:
+            if assign[j] >= 0:
+                continue
+            Xw = Twc[:3, :3] @ xyz_cam[j] + Twc[:3, 3]
+            l = self._new_landmark(Xw, desc[j], intensity[j])
+            if l < 0:
+                break
+            self._add_obs(l, kf, uv_undist[j], float(xyz_cam[j, 2]))
+            assign[j] = l
+
+        self.kp2lm[kf] = assign
+        return assign
+
+    # ------------------------------------------------------------------
+    def window_problem(self, kf_lo: int, kf_hi: int, poses_cw: np.ndarray,
+                       min_obs: int = 2):
+        """Build a BAProblem over keyframes [kf_lo, kf_hi] (inclusive).
+
+        Only landmarks with >= min_obs observations inside the window enter;
+        keyframe indices are re-based to the window. Returns
+        (problem, lm_ids, kf_ids) with fixed budgets (padded).
+        """
+        import jax.numpy as jnp
+
+        from rgbdslam_tpu.solvers.ba import BAProblem
+
+        kf_ids = np.arange(kf_lo, kf_hi + 1)
+        K = len(kf_ids)
+        in_window = (
+            (self.obs_kf >= kf_lo) & (self.obs_kf <= kf_hi) & self.obs_valid
+        )
+        n_in = in_window.sum(axis=1)
+        lm_mask = self.valid & (n_in >= min_obs)
+        lm_ids = np.nonzero(lm_mask)[0]
+
+        # pad the landmark dimension to a power-of-two bucket so repeated BA
+        # calls reuse compiled programs
+        Lw = 8
+        while Lw < max(1, len(lm_ids)):
+            Lw *= 2
+
+        obs_kf = np.zeros((Lw, self.M), np.int32)
+        obs_uv = np.zeros((Lw, self.M, 2), np.float32)
+        obs_z = np.zeros((Lw, self.M), np.float32)
+        obs_valid = np.zeros((Lw, self.M), bool)
+        Xw = np.zeros((Lw, 3), np.float32)
+        lm_valid = np.zeros((Lw,), bool)
+        if len(lm_ids):
+            nl = len(lm_ids)
+            obs_kf[:nl] = np.clip(self.obs_kf[lm_ids] - kf_lo, 0, K - 1)
+            obs_uv[:nl] = self.obs_uv[lm_ids]
+            obs_z[:nl] = self.obs_z[lm_ids]
+            obs_valid[:nl] = in_window[lm_ids]
+            Xw[:nl] = self.Xw[lm_ids]
+            lm_valid[:nl] = True
+
+        problem = BAProblem(
+            Tcw=jnp.asarray(poses_cw[kf_lo : kf_hi + 1]),
+            Xw=jnp.asarray(Xw),
+            lm_valid=jnp.asarray(lm_valid),
+            obs_kf=jnp.asarray(obs_kf),
+            obs_uv=jnp.asarray(obs_uv),
+            obs_valid=jnp.asarray(obs_valid),
+            obs_z=jnp.asarray(obs_z),
+        )
+        return problem, lm_ids, kf_ids
+
+    def update_from_solution(self, lm_ids: np.ndarray, Xw_opt: np.ndarray):
+        if len(lm_ids):
+            self.Xw[lm_ids] = np.asarray(Xw_opt)[: len(lm_ids)]
+
+    # ------------------------------------------------------------------
+    def world_points(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Valid landmark positions + intensities (for map export; the
+        reference's MapDrawer::drawLandmarks analog)."""
+        m = self.valid[: self.count]
+        return self.Xw[: self.count][m], self.intensity[: self.count][m]

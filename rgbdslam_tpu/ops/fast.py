@@ -115,9 +115,10 @@ def detect_keypoints(
     pyramid: List[jnp.ndarray],
     num_features: int,
     cell_size: int,
-    fast_threshold: float,
+    fast_threshold,      # float or traced scalar (adaptive mode varies it)
     min_response: float,
     min_border: int,
+    use_fast_gate: bool = True,   # False -> pure Shi-Tomasi (GFTT-style)
 ) -> Keypoints:
     """Multi-level FAST detection with best-per-cell grid NMS into N slots.
 
@@ -141,7 +142,11 @@ def detect_keypoints(
         if cell_l < 1:
             break
         h, w = img.shape
-        corners = fast_corner_mask(img, fast_threshold)
+        if use_fast_gate:
+            corners = fast_corner_mask(img, fast_threshold)
+        else:
+            # GFTT-style: every pixel is a candidate, ranked by Shi-Tomasi
+            corners = jnp.ones_like(img, dtype=bool)
         score = shi_tomasi_map(img)
         # NMS among corner pixels only (libfast's nonmax runs on the corner
         # list, not the dense field): mask non-corners to -inf first.

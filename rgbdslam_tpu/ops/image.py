@@ -33,27 +33,28 @@ def build_pyramid(img: jnp.ndarray, levels: int) -> List[jnp.ndarray]:
     return pyr
 
 
-def _sep_conv(img: jnp.ndarray, kx: jnp.ndarray, ky: jnp.ndarray) -> jnp.ndarray:
-    """Separable 2D convolution with reflect padding (single-channel)."""
-    rx = (len(kx) - 1) // 2
-    ry = (len(ky) - 1) // 2
-    x = jnp.pad(img, ((ry, ry), (rx, rx)), mode="reflect")
-    x = x[None, None]  # NCHW
-    kyv = ky.reshape(1, 1, -1, 1).astype(img.dtype)
-    kxv = kx.reshape(1, 1, 1, -1).astype(img.dtype)
-    x = jax.lax.conv_general_dilated(x, kyv, (1, 1), "VALID")
-    x = jax.lax.conv_general_dilated(x, kxv, (1, 1), "VALID")
-    return x[0, 0]
-
-
 def gaussian_blur(img: jnp.ndarray, sigma: float = 2.0, radius: int = 3) -> jnp.ndarray:
     """Gaussian blur (ORBextractor blurs 7x7 sigma 2 before describing,
-    Features/ORBextractor.cpp:746)."""
+    Features/ORBextractor.cpp:746).
+
+    Implemented as separable shift-and-accumulate over a reflect-padded image
+    (static slices fuse into one VPU loop; the 1-channel conv layout is slow
+    on the MXU path)."""
     xs = np.arange(-radius, radius + 1, dtype=np.float32)
     k = np.exp(-0.5 * (xs / sigma) ** 2)
     k /= k.sum()
-    k = jnp.asarray(k)
-    return _sep_conv(img, k, k)
+    h, w = img.shape
+    pad = jnp.pad(img, radius, mode="reflect")
+    # horizontal pass
+    acc = jnp.zeros_like(img)
+    for i, kv in enumerate(k):
+        acc = acc + float(kv) * pad[radius : radius + h, i : i + w]
+    # vertical pass
+    pad2 = jnp.pad(acc, ((radius, radius), (0, 0)), mode="reflect")
+    out = jnp.zeros_like(img)
+    for i, kv in enumerate(k):
+        out = out + float(kv) * pad2[i : i + h, :]
+    return out
 
 
 def sobel_gradients(img: jnp.ndarray):

@@ -53,6 +53,12 @@ class SlamSystem:
             huber_delta=cfg.pose_graph.huber_delta,
         )
         self.loop_detector = LoopDetector(cfg.loop, kf_cfg.max_keyframes, seed=seed)
+        from rgbdslam_tpu.mapping.landmarks import LandmarkStore
+
+        self.landmarks = LandmarkStore(
+            cfg.max_landmarks, cfg.max_obs_per_landmark,
+            cfg.extractor.num_features,
+        )
         self.kfs_since_loop = 0
         self.loops_closed = 0
         self._key = jax.random.PRNGKey(seed + 12345)
@@ -128,10 +134,43 @@ class SlamSystem:
         self.loop_detector.add(np.asarray(f.desc), np.asarray(f.obs_valid),
                                connections)
 
+        # landmark-track extension (Landmark::addObservation analog): match
+        # the previous keyframe's keypoints into this one
+        match_idx = match_valid = None
+        if k > 0:
+            dp, xp, vp = self.store.features_of(k - 1)
+            m = match_descriptors(
+                jnp.asarray(dp), jnp.asarray(vp),
+                jnp.asarray(self.store.desc[k]),
+                jnp.asarray(self.store.obs_valid[k]),
+                self.cfg.matcher.nn_ratio,
+            )
+            match_idx = np.asarray(m.idx2)
+            match_valid = np.asarray(m.valid)
+            # geometric gate on track extension: the relative KF pose is
+            # known, so a correct association must map the old 3-D point
+            # onto the new one (rejects descriptor aliasing)
+            T21 = Tcw @ np.linalg.inv(self.store.poses_cw[k - 1])
+            pred = xp @ T21[:3, :3].T + T21[:3, 3]
+            err = np.linalg.norm(pred - self.store.xyz[k][match_idx], axis=-1)
+            match_valid = match_valid & (err < 0.10)
+        self.landmarks.add_keyframe(
+            k, self.store.uv[k], self.store.xyz[k], self.store.obs_valid[k],
+            self.store.desc[k], self.store.intensity[k], Tcw,
+            match_idx, match_valid, k - 1 if k > 0 else None,
+        )
+
         # loop detection (detectLoop)
+        loop_found = False
         if self.kfs_since_loop >= self.cfg.loop.min_kfs_since_loop:
             if self._detect_and_close_loop(k):
                 self.kfs_since_loop = 0
+                loop_found = True
+
+        # local bundle adjustment over the sliding window (no reference
+        # analog; BASELINE config 3)
+        if self.cfg.use_local_ba and not loop_found:
+            self._local_ba(k)
 
     def _detect_and_close_loop(self, k: int) -> bool:
         th = max(
@@ -150,6 +189,35 @@ class SlamSystem:
             self.loops_closed += 1
             return True
         return False
+
+    # ------------------------------------------------------------------
+    def _local_ba(self, k: int):
+        """Window BA: optimize the last `ba_window` keyframes + their
+        landmarks (first window KF fixed as gauge)."""
+        import jax.numpy as jnp
+
+        from rgbdslam_tpu.solvers.ba import local_ba
+
+        W = self.cfg.ba_window
+        if k + 1 < W:
+            return
+        kf_lo = k - W + 1
+        problem, lm_ids, kf_ids = self.landmarks.window_problem(
+            kf_lo, k, self.store.poses_cw
+        )
+        if len(lm_ids) < 8:
+            return
+        fixed = jnp.zeros((W,), bool).at[0].set(True)
+        Tcw_opt, Xw_opt, _cost = local_ba(
+            self.cam, problem, fixed, self.cfg.ba_iterations
+        )
+        Tcw_opt = np.asarray(Tcw_opt)
+        self.landmarks.update_from_solution(lm_ids, np.asarray(Xw_opt))
+        self.store.poses_cw[kf_lo : k + 1] = Tcw_opt
+        for i, kf in enumerate(kf_ids):
+            self.graph.Twc[kf] = np.linalg.inv(Tcw_opt[i]).astype(np.float32)
+        self.tracker.apply_correction(self.store.poses_cw[: k + 1],
+                                      relocalize=True)
 
     # ------------------------------------------------------------------
     def _optimize(self, iterations: int):

@@ -153,14 +153,16 @@ class Tracker:
             success = bool(res.success)
 
         if success and self.cfg.use_icp_refinement and float(res.rmse) >= self.cfg.icp.rmse_trigger:
-            # GICP refinement on the matched sets (System/Tracking.cpp:145-151)
+            # GICP refinement on the matched sets (System/Tracking.cpp:145-151).
+            # Divergence from the reference: a non-converged GICP keeps the
+            # RANSAC pose instead of declaring tracking lost — the reference
+            # overwrites its success flag with the GICP result
+            # (System/Tracking.cpp:150), discarding a valid RANSAC estimate.
             p1, p2, valid = pts
             T_ref, converged, _ = gicp_refine(p1, p2, res.inliers, res.T21,
                                               None, self.cfg.icp)
             if bool(converged):
                 res = res.replace(T21=T_ref)
-            else:
-                success = False
 
         n_inl = int(res.num_inliers) if success else 0
         self._last_inliers = n_inl

@@ -114,13 +114,53 @@ def _score(
     p2: jnp.ndarray,
     valid: jnp.ndarray,
     cfg: RansacConfig,
+    cam=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Inlier mask, count and error for transforms T (..., 4, 4)."""
-    m2 = mahalanobis_sq(T, p1, p2, cfg)  # (..., N)
-    th = cfg.max_mahalanobis * cfg.max_mahalanobis
-    inl = (m2 <= th) & valid
+    """Inlier mask, count and error for transforms T (..., 4, 4).
+
+    Dispatches on cfg.error_model (static) — the PUT-style Ransac's selectable
+    error models (Solver/Ransac.h:15-19, Solver/Ransac.cpp:247-427) unified
+    into the batched scorer.
+    """
+    model = cfg.error_model
+    if model == "mahalanobis":
+        m2 = mahalanobis_sq(T, p1, p2, cfg)  # (..., N)
+        th = cfg.max_mahalanobis * cfg.max_mahalanobis
+        inl = (m2 <= th) & valid
+        err = m2
+    else:
+        R = T[..., :3, :3]
+        t = T[..., :3, 3]
+        p1_in_2 = jnp.einsum("...ij,nj->...ni", R, p1) + t[..., None, :]
+        delta = jnp.linalg.norm(p1_in_2 - p2, axis=-1)  # (..., N)
+        if model == "euclidean":
+            inl_e = delta <= cfg.inlier_threshold_m
+        elif model == "adaptive_euclidean":
+            z_mean = 0.5 * (p1[:, 2] + p2[:, 2])
+            th_a = cfg.inlier_threshold_m + cfg.adaptive_depth_coeff * z_mean * z_mean
+            inl_e = delta <= th_a
+        elif model in ("reprojection", "both"):
+            if cam is None:
+                raise ValueError(f"error_model={model!r} requires a camera")
+            z = jnp.maximum(p1_in_2[..., 2], 1e-6)
+            u = cam.fx * p1_in_2[..., 0] / z + cam.cx
+            v = cam.fy * p1_in_2[..., 1] / z + cam.cy
+            z2 = jnp.maximum(p2[:, 2], 1e-6)
+            u2 = cam.fx * p2[:, 0] / z2 + cam.cx
+            v2 = cam.fy * p2[:, 1] / z2 + cam.cy
+            px_err = jnp.sqrt((u - u2) ** 2 + (v - v2) ** 2)
+            inl_r = px_err <= cfg.reproj_threshold_px
+            if model == "both":
+                inl_e = inl_r & (delta <= cfg.inlier_threshold_m)
+            else:
+                inl_e = inl_r
+        else:
+            raise ValueError(f"unknown error_model {model!r}")
+        inl = inl_e & valid
+        err = delta * delta
+
     cnt = jnp.sum(inl, axis=-1)
-    err_sum = jnp.sum(jnp.where(inl, m2, 0.0), axis=-1)
+    err_sum = jnp.sum(jnp.where(inl, err, 0.0), axis=-1)
     # meanError semantics (Solver/SolverSE3.cpp:206-213): <3 inliers -> huge
     rmse = jnp.where(
         cnt >= 3, jnp.sqrt(err_sum / jnp.maximum(cnt, 1)), 1e9
@@ -128,7 +168,7 @@ def _score(
     return inl, cnt, rmse
 
 
-@functools.partial(jax.jit, static_argnums=(5,))
+@functools.partial(jax.jit, static_argnums=(5, 6))
 def ransac_se3(
     p1: jnp.ndarray,
     p2: jnp.ndarray,
@@ -136,6 +176,7 @@ def ransac_se3(
     valid: jnp.ndarray,
     key: jnp.ndarray,
     cfg: RansacConfig = RansacConfig(),
+    cam=None,
 ) -> RansacResult:
     """Estimate T21 with p2 ~= T21 * p1 from masked correspondences.
 
@@ -166,7 +207,7 @@ def ransac_se3(
     # hypothesis 0 = identity (identity fallback, Solver/SolverSE3.cpp:105-117)
     T_h = T_h.at[0].set(jnp.eye(4, dtype=T_h.dtype))
 
-    inl_h, cnt_h, rmse_h = _score(T_h, p1, p2, valid, cfg)
+    inl_h, cnt_h, rmse_h = _score(T_h, p1, p2, valid, cfg, cam)
     # lexicographic best: max inliers, then min error
     rank = cnt_h.astype(jnp.float32) * 1e4 - jnp.minimum(rmse_h, 9e3)
     best = jnp.argmax(rank)
@@ -176,10 +217,10 @@ def ransac_se3(
     # (Solver/SolverSE3.cpp:61-84 refine-until-stable, fixed-trip here)
     def refine_step(carry, _):
         T, _inl, _cnt, _rmse = carry
-        inl, cnt, rmse = _score(T, p1, p2, valid, cfg)
+        inl, cnt, rmse = _score(T, p1, p2, valid, cfg, cam)
         w_fit = w * inl.astype(w.dtype)
         T_new = weighted_rigid_transform(p1, p2, w_fit)
-        inl2, cnt2, rmse2 = _score(T_new, p1, p2, valid, cfg)
+        inl2, cnt2, rmse2 = _score(T_new, p1, p2, valid, cfg, cam)
         # keep refinement only if it does not lose inliers (reference keeps
         # refits with >= inliers and <= error, Solver/SolverSE3.cpp:72)
         better = (cnt2 >= cnt) & (rmse2 <= rmse)

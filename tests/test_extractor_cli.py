@@ -1,0 +1,92 @@
+"""Extractor factory (variants + adaptive mode) and CLI smoke tests."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from rgbdslam_tpu.config import ExtractorConfig
+from rgbdslam_tpu.frontend.extractor import Extractor
+from rgbdslam_tpu.geometry.camera import Camera
+from rgbdslam_tpu.io.synthetic import SyntheticDataset
+
+CAM = Camera(80.0, 80.0, 63.5, 47.5, width=128, height=96)
+CFG = ExtractorConfig(num_features=128, num_levels=2, cell_size=8,
+                      fast_threshold=15.0)
+
+
+def test_detector_variants_run():
+    ds = SyntheticDataset(n_frames=1, cam=CAM)
+    _, gray, depth = ds.grab(0)
+    counts = {}
+    for det in Extractor.DETECTORS:
+        ex = Extractor(CAM, CFG, detector=det)
+        f = ex(gray, depth)
+        counts[det] = int(f.valid.sum())
+        assert counts[det] > 20, det
+    # gftt (no FAST gate) should find at least as many as the gated detector
+    assert counts["gftt"] >= counts["svo_fast"]
+
+
+def test_adaptive_threshold_feedback():
+    """Too-few keypoints must lower the threshold (x0.7), too-many raise it
+    (x1.3) — DetectorAdjuster semantics (Features/DetectorAdjuster.cpp:45-57)."""
+    ds = SyntheticDataset(n_frames=1, cam=CAM)
+    _, gray, depth = ds.grab(0)
+
+    ex = Extractor(CAM, CFG, adaptive=True, target_min=100000, target_max=200000)
+    th0 = ex.threshold
+    ex(gray, depth)  # count certainly < target_min
+    assert ex.threshold == pytest.approx(th0 * 0.7)
+
+    ex2 = Extractor(CAM, CFG, adaptive=True, target_min=0, target_max=1)
+    th0 = ex2.threshold
+    ex2(gray, depth)  # count certainly > target_max
+    assert ex2.threshold == pytest.approx(th0 * 1.3)
+
+
+def test_adaptive_no_recompile():
+    """Changing the threshold must reuse the compiled program (traced arg)."""
+    import jax
+
+    ds = SyntheticDataset(n_frames=1, cam=CAM)
+    _, gray, depth = ds.grab(0)
+    ex = Extractor(CAM, CFG, adaptive=True)
+    ex(gray, depth)
+    from rgbdslam_tpu.frontend.frame import build_frame_features
+
+    misses0 = build_frame_features._cache_size()
+    ex.threshold *= 0.7
+    ex(gray, depth)
+    assert build_frame_features._cache_size() == misses0
+
+
+def test_cli_synthetic_odometry(tmp_path):
+    out = tmp_path / "out"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    n = 24  # the sweep covers its full period in n frames; too few frames
+    # means multi-dm inter-frame motion
+    r = subprocess.run(
+        [sys.executable, "-m", "rgbdslam_tpu.cli",
+         "--dataset", "synthetic:sweep", "--frames", str(n),
+         "--out-dir", str(out), "--odometry-only", "--platform", "cpu",
+         "--num-features", "1024", "--cell-size", "8",
+         "--fast-threshold", "15"],
+        capture_output=True, text=True, timeout=500,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    result = json.loads(r.stdout.strip().splitlines()[-1])
+    assert result["frames"] == n
+    assert "ate_rmse" in result
+    assert result["ate_rmse"] < 0.15
+    assert (out / "CameraTrajectory.txt").exists()
+    assert (out / "KeyFrameTrajectory.txt").exists()
+    # trajectory file parses back
+    from rgbdslam_tpu.io import trajectory as tio
+
+    ts, poses = tio.load_tum(str(out / "CameraTrajectory.txt"))
+    assert len(ts) == n

@@ -168,6 +168,29 @@ def test_descriptor_stability_under_translation():
     assert np.median(dist) <= 8  # out of 256 bits
 
 
+def test_dense_brief_matches_numpy_reference():
+    """The dense bit-plane BRIEF equals a direct numpy evaluation of the
+    integer pattern at each keypoint."""
+    rng = np.random.default_rng(11)
+    img = rng.uniform(0, 255, (96, 128)).astype(np.float32)
+    uv = np.stack(
+        [rng.integers(16, 112, 32), rng.integers(16, 80, 32)], axis=-1
+    ).astype(np.float32)
+    ours = np.asarray(
+        orb_ops.brief_descriptors_dense(jnp.asarray(img), jnp.asarray(uv))
+    )
+    pat = orb_ops._int_pattern()
+    ref = np.zeros((32, 8), dtype=np.uint32)
+    for i, (u, v) in enumerate(uv.astype(int)):
+        for k in range(256):
+            ax, ay = pat[k, 0]
+            bx, by = pat[k, 1]
+            bit = img[v + ay, u + ax] < img[v + by, u + bx]
+            if bit:
+                ref[i, k // 32] |= np.uint32(1 << (k % 32))
+    np.testing.assert_array_equal(ours, ref)
+
+
 def test_hamming_distance_matrix_matches_numpy():
     rng = np.random.default_rng(4)
     d1 = rng.integers(0, 2**32, size=(16, 8), dtype=np.uint32)

@@ -1,0 +1,126 @@
+"""Loop-closure subsystem tests: codebook, BoW scoring, detector gating."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rgbdslam_tpu.config import LoopConfig
+from rgbdslam_tpu.loop.bow import bow_scores, bow_vector
+from rgbdslam_tpu.loop.codebook import quantize, train_codebook
+from rgbdslam_tpu.loop.detector import LoopDetector
+
+
+def random_desc(rng, n):
+    return rng.integers(0, 2**32, size=(n, 8), dtype=np.uint32)
+
+
+def cluster_desc(rng, centers, n_per, flip_bits=8):
+    """Descriptors near given centers (flip a few random bits)."""
+    out = []
+    for c in centers:
+        for _ in range(n_per):
+            d = c.copy()
+            for _ in range(flip_bits):
+                w = rng.integers(0, 8)
+                b = rng.integers(0, 32)
+                d[w] ^= np.uint32(1 << b)
+            out.append(d)
+    return np.stack(out)
+
+
+def test_codebook_recovers_clusters():
+    rng = np.random.default_rng(0)
+    centers = random_desc(rng, 8)
+    desc = cluster_desc(rng, centers, 32, flip_bits=6)
+    valid = np.ones(len(desc), dtype=bool)
+    words, idf = train_codebook(
+        jnp.asarray(desc), jnp.asarray(valid), vocab_size=8, iters=10,
+        key=jax.random.PRNGKey(1),
+    )
+    # each true center should be close to some learned word
+    from rgbdslam_tpu.ops.hamming import hamming_distance_matrix
+
+    d = np.asarray(hamming_distance_matrix(jnp.asarray(centers), words))
+    assert d.min(axis=1).max() <= 12, d.min(axis=1)
+    assert idf.shape == (8,)
+
+
+def test_quantize_is_nearest():
+    rng = np.random.default_rng(1)
+    words = jnp.asarray(random_desc(rng, 16))
+    desc = jnp.asarray(random_desc(rng, 32))
+    assign = np.asarray(quantize(desc, words))
+    from rgbdslam_tpu.ops.hamming import hamming_distance_matrix
+
+    d = np.asarray(hamming_distance_matrix(desc, words))
+    np.testing.assert_array_equal(assign, d.argmin(axis=1))
+
+
+def test_bow_similarity_orders_by_overlap():
+    rng = np.random.default_rng(2)
+    centers = random_desc(rng, 32)
+    words, idf = train_codebook(
+        jnp.asarray(centers), jnp.ones(32, dtype=bool), vocab_size=32, iters=4
+    )
+    # frame A uses words 0..15, frame B uses 8..23 (overlap 8), frame C 16..31
+    mk = lambda lo, hi: bow_vector(
+        jnp.asarray(centers[lo:hi]), jnp.ones(hi - lo, dtype=bool), words, idf
+    )
+    va, vb, vc = mk(0, 16), mk(8, 24), mk(16, 32)
+    db = jnp.stack([vb, vc])
+    s = np.asarray(bow_scores(va, db))
+    assert s[0] > s[1]
+    self_score = float(bow_scores(va, va[None])[0])
+    assert self_score > 0.99
+
+
+def test_detector_gating_interval_and_connections():
+    """The similarity floor is the min score over *connected* KFs
+    (LoopDetector.cpp:37-46): a query connected to a different-looking KF
+    accepts distant same-looking KFs; the id-interval gate filters near ids."""
+    rng = np.random.default_rng(3)
+    cfg = LoopConfig(id_interval=5, vocab_size=64, min_kfs_since_loop=0)
+    det = LoopDetector(cfg, max_keyframes=64, train_after=3)
+    place_a = random_desc(rng, 128)
+    place_b = random_desc(rng, 128)
+    valid = np.ones(128, dtype=bool)
+
+    # KFs 0..5 at place A, 6..10 at place B, query 11 back at place A,
+    # connected (odometry) to 10 which looks like B -> low floor.
+    for k in range(6):
+        det.add(place_a, valid, connections={k - 1} if k > 0 else set())
+    for k in range(6, 11):
+        det.add(place_b, valid, connections={k - 1})
+    det.add(place_a, valid, connections={10})
+
+    cands = det.candidates(11)
+    # id gap must exceed 5 -> only 0..5 eligible; all look like the query
+    assert len(cands) > 0
+    assert all(abs(c - 11) > 5 for c in cands)
+    assert all(c <= 5 for c in cands)
+    assert len(cands) <= cfg.max_candidates
+
+
+def test_detector_distinguishes_places():
+    rng = np.random.default_rng(4)
+    cfg = LoopConfig(id_interval=3, vocab_size=64)
+    det = LoopDetector(cfg, max_keyframes=64, train_after=4)
+
+    place_a = random_desc(rng, 128)
+    place_b = random_desc(rng, 128)
+    valid = np.ones(128, dtype=bool)
+
+    # KFs 0-3: place A; 4-7: place B; 8: place A again
+    seq = [place_a, place_a, place_a, place_a,
+           place_b, place_b, place_b, place_b,
+           place_a]
+    for k, d in enumerate(seq):
+        # small per-frame noise
+        noisy = d.copy()
+        noisy[rng.integers(0, 128, 5)] ^= np.uint32(1)
+        det.add(noisy, valid, connections={k - 1} if k > 0 else set())
+
+    cands = det.candidates(8)
+    assert len(cands) > 0
+    # best candidate must be from place A (ids 0..3; 4 is within interval)
+    assert cands[0] in (0, 1, 2, 3), cands

@@ -1,0 +1,179 @@
+"""Cloud pipeline, occupancy grid, serialization, and viz export tests."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from rgbdslam_tpu.geometry.camera import Camera
+from rgbdslam_tpu.io.synthetic import SyntheticDataset
+from rgbdslam_tpu.mapping import cloud as cloud_mod
+from rgbdslam_tpu.mapping.cloud import (
+    Cloud,
+    create_cloud,
+    keyframe_cloud,
+    statistical_outlier_removal,
+    transform_cloud,
+    voxel_downsample,
+)
+from rgbdslam_tpu.mapping.occupancy import insert_cloud, make_grid, occupied_voxels
+
+CAM = Camera(80.0, 80.0, 63.5, 47.5, width=128, height=96)
+
+
+def synth_frame(i=0):
+    ds = SyntheticDataset(n_frames=4, cam=CAM)
+    ts, gray, depth = ds.grab(i)
+    return ds, gray, depth
+
+
+def test_create_cloud_stride_and_zfilter():
+    ds, gray, depth = synth_frame()
+    c = create_cloud(CAM, gray, depth, stride=4, z_min=0.5, z_max=4.0)
+    assert c.xyz.shape == (24 * 32, 3)
+    v = np.asarray(c.valid)
+    z = np.asarray(c.xyz)[:, 2]
+    assert v.sum() > 100
+    assert np.all(z[v] > 0.5) and np.all(z[v] < 4.0)
+
+
+def test_voxel_downsample_reduces_and_preserves_extent():
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-1, 1, size=(2000, 3)).astype(np.float32)
+    c = Cloud(
+        xyz=jnp.asarray(pts),
+        intensity=jnp.ones((2000,), jnp.float32),
+        valid=jnp.ones((2000,), bool),
+    )
+    out = voxel_downsample(c, max_points=1024, voxel=0.25)
+    n_out = int(out.count)
+    assert 0 < n_out < 1500
+    # number of distinct voxels is bounded by (2/0.25+1)^3 but at least ~100
+    assert n_out > 100
+    o = np.asarray(out.xyz)[np.asarray(out.valid)]
+    assert np.all(np.abs(o) < 1.01)
+
+
+def test_voxel_downsample_centroids():
+    pts = np.array([[0.01, 0.01, 0.01], [0.03, 0.03, 0.03],  # same voxel
+                    [1.0, 1.0, 1.0]], dtype=np.float32)
+    c = Cloud(jnp.asarray(pts), jnp.asarray([10.0, 20.0, 30.0]),
+              jnp.ones((3,), bool))
+    out = voxel_downsample(c, max_points=8, voxel=0.1)
+    v = np.asarray(out.valid)
+    assert v.sum() == 2
+    xyz = np.asarray(out.xyz)[v]
+    # one centroid is the mean of the first two points
+    d = np.linalg.norm(xyz - np.array([0.02, 0.02, 0.02]), axis=-1)
+    assert d.min() < 1e-5
+
+
+def test_statistical_outlier_removal():
+    rng = np.random.default_rng(1)
+    dense = rng.normal(scale=0.1, size=(300, 3)).astype(np.float32)
+    outliers = np.array([[5.0, 5.0, 5.0], [-4.0, 6.0, 2.0]], dtype=np.float32)
+    pts = np.concatenate([dense, outliers])
+    c = Cloud(jnp.asarray(pts), jnp.zeros((302,), jnp.float32),
+              jnp.ones((302,), bool))
+    out = statistical_outlier_removal(c, k=20, std_mul=1.0)
+    v = np.asarray(out.valid)
+    assert not v[300] and not v[301]     # gross outliers removed
+    assert v[:300].mean() > 0.7          # most inliers kept
+
+
+def test_keyframe_cloud_world_consistency():
+    ds, gray, depth = synth_frame(0)
+    c = keyframe_cloud(CAM, gray, depth, stride=4, max_points=2048)
+    Twc = jnp.asarray(ds.poses_twc[0])
+    wc = transform_cloud(c, Twc)
+    v = np.asarray(wc.valid)
+    pts = np.asarray(wc.xyz)[v]
+    # world points must lie near the box walls
+    from rgbdslam_tpu.io.synthetic import ROOM_HALF
+
+    half = np.asarray(ROOM_HALF)
+    dist = np.min(np.abs(np.abs(pts) - half), axis=-1)
+    assert np.percentile(dist, 95) < 0.05
+
+
+def test_occupancy_grid_hits_walls_and_clears_interior():
+    ds, gray, depth = synth_frame(0)
+    c = keyframe_cloud(CAM, gray, depth, stride=4, max_points=2048)
+    Twc = jnp.asarray(ds.poses_twc[0])
+    wc = transform_cloud(c, Twc)
+    grid = make_grid([-3.2, -2.2, -3.2], [3.2, 2.2, 3.2], resolution=0.1)
+    origin = Twc[:3, 3]
+    grid = insert_cloud(grid, wc, origin)
+
+    centers, col = occupied_voxels(grid, threshold=0.7)
+    assert len(centers) > 50
+    half = np.asarray([3.0, 2.0, 3.0])
+    dist = np.min(np.abs(np.abs(centers) - half), axis=-1)
+    assert np.percentile(dist, 90) < 0.2  # occupied voxels on walls
+
+    # interior along the visible rays must be free: sample near the camera
+    occ = np.asarray(grid.occupancy)
+    cam_pos = np.asarray(origin)
+    q = np.floor((cam_pos - np.asarray(grid.origin)) / grid.resolution).astype(int)
+    assert occ[q[0], q[1], q[2]] < 0.5
+
+
+def test_save_ply_and_plot(tmp_path):
+    from rgbdslam_tpu.viz.export import plot_trajectories, save_ply
+
+    rng = np.random.default_rng(2)
+    pts = rng.normal(size=(100, 3)).astype(np.float32)
+    n = save_ply(str(tmp_path / "c.ply"), pts,
+                 intensity=np.full(100, 128.0), valid=np.ones(100, bool))
+    assert n == 100
+    text = open(tmp_path / "c.ply").read()
+    assert "element vertex 100" in text
+
+    poses = np.tile(np.eye(4, dtype=np.float32), (10, 1, 1))
+    poses[:, 0, 3] = np.arange(10)
+    plot_trajectories(str(tmp_path / "t.png"), [poses], ["est"])
+    assert os.path.getsize(tmp_path / "t.png") > 1000
+
+
+def test_draw_tracked_points():
+    from rgbdslam_tpu.viz.export import draw_tracked_points
+
+    gray = np.full((32, 32), 100.0, np.float32)
+    uv = np.array([[5.0, 5.0], [20.0, 20.0], [100.0, 5.0]])
+    img = draw_tracked_points(gray, uv, np.array([True, False, True]),
+                              np.array([True, True, True]))
+    assert img.shape == (32, 32, 3)
+    assert tuple(img[5, 5]) == (0, 255, 0)
+    assert tuple(img[20, 20]) == (128, 128, 128)
+
+
+def test_map_save_load_roundtrip(tmp_path):
+    from rgbdslam_tpu.config import ExtractorConfig, SlamConfig
+    from rgbdslam_tpu.slam.system import SlamSystem
+    from rgbdslam_tpu.utils.serialization import load_map, save_map
+
+    cfg = SlamConfig(
+        extractor=ExtractorConfig(num_features=256, num_levels=2, cell_size=8,
+                                  fast_threshold=15.0)
+    )
+    ds = SyntheticDataset(n_frames=10, cam=CAM, trajectory="sweep")
+    sys1 = SlamSystem(CAM, cfg, seed=0)
+    for i in range(len(ds)):
+        ts, g, d = ds.grab(i)
+        sys1.track(ts, g, d)
+
+    p = str(tmp_path / "map.npz")
+    save_map(p, sys1)
+
+    sys2 = SlamSystem(CAM, cfg, seed=0)
+    load_map(p, sys2)
+    assert sys2.store.count == sys1.store.count
+    assert sys2.graph.n_edges == sys1.graph.n_edges
+    np.testing.assert_allclose(
+        sys2.store.poses_cw[: sys2.store.count],
+        sys1.store.poses_cw[: sys1.store.count],
+    )
+    ts1, tr1 = sys1.camera_trajectory()
+    ts2, tr2 = sys2.camera_trajectory()
+    np.testing.assert_allclose(ts1, ts2)
+    np.testing.assert_allclose(tr1, tr2, atol=1e-5)

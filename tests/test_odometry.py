@@ -15,7 +15,10 @@ from rgbdslam_tpu.io.synthetic import SyntheticDataset
 from rgbdslam_tpu.slam.tracking import Tracker, TrackerState
 
 CAM = Camera(200.0, 200.0, 159.5, 119.5, width=320, height=240)
-CFG = SlamConfig(extractor=ExtractorConfig(num_features=512, num_levels=3, cell_size=16))
+CFG = SlamConfig(
+    extractor=ExtractorConfig(num_features=1024, num_levels=3, cell_size=8,
+                              fast_threshold=15.0)
+)
 
 
 @pytest.fixture(scope="module")

@@ -1,0 +1,66 @@
+"""Pallas Hamming-matcher kernel: bit-exact vs the XLA formulation
+(interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from rgbdslam_tpu.frontend.matcher import match_descriptors
+from rgbdslam_tpu.ops import hamming
+from rgbdslam_tpu.ops.pallas_kernels import hamming_match_2nn
+
+
+def test_kernel_matches_xla_reference():
+    rng = np.random.default_rng(0)
+    n, m = 512, 512
+    d1 = jnp.asarray(rng.integers(0, 2**32, size=(n, 8), dtype=np.uint32))
+    d2 = jnp.asarray(rng.integers(0, 2**32, size=(m, 8), dtype=np.uint32))
+    v1 = jnp.asarray(rng.random(n) > 0.1)
+    v2 = jnp.asarray(rng.random(m) > 0.1)
+
+    bi, bd, sd, cbr = hamming_match_2nn(d1, d2, v1, v2, 256, True)
+
+    D = np.asarray(hamming.hamming_distance_matrix(d1, d2, v1, v2))
+    ref_bi = D.argmin(axis=1)
+    ref_bd = D.min(axis=1)
+    D2 = D.copy()
+    D2[np.arange(n), ref_bi] = hamming.BIG_DIST
+    ref_sd = D2.min(axis=1)
+    ref_cbr = D.argmin(axis=0)
+
+    np.testing.assert_array_equal(np.asarray(bd), np.minimum(ref_bd, 1 << 20))
+    np.testing.assert_array_equal(np.asarray(sd), np.minimum(ref_sd, 1 << 20))
+    # argmin ties can differ only where distances tie; check distances instead
+    np.testing.assert_array_equal(
+        D[np.arange(n), np.asarray(bi)], D[np.arange(n), ref_bi]
+    )
+    np.testing.assert_array_equal(
+        D[np.asarray(cbr), np.arange(m)], D[ref_cbr, np.arange(m)]
+    )
+
+
+def test_match_descriptors_backends_agree():
+    rng = np.random.default_rng(1)
+    n = 256
+    base = rng.integers(0, 2**32, size=(n, 8), dtype=np.uint32)
+    # frame 2 = noisy copy of frame 1 with a permutation
+    perm = rng.permutation(n)
+    d2 = base[perm].copy()
+    flip = rng.integers(0, 2**32, size=(n, 8), dtype=np.uint32)
+    d2 ^= flip & rng.integers(0, 2, size=(n, 8), dtype=np.uint32)  # few bits
+    d1 = jnp.asarray(base)
+    d2 = jnp.asarray(d2)
+    v = jnp.ones((n,), bool)
+
+    m_x = match_descriptors(d1, v, d2, v, 0.9, backend="xla")
+    m_p = match_descriptors(d1, v, d2, v, 0.9, backend="pallas")
+    np.testing.assert_array_equal(np.asarray(m_x.valid), np.asarray(m_p.valid))
+    vmask = np.asarray(m_x.valid)
+    np.testing.assert_array_equal(
+        np.asarray(m_x.idx2)[vmask], np.asarray(m_p.idx2)[vmask]
+    )
+    # and the matching actually recovers the permutation:
+    # base[i] appears at d2 position j where perm[j] == i
+    recovered = np.asarray(m_x.idx2)
+    inv = np.argsort(perm)
+    agree = (recovered[vmask] == inv[vmask]).mean()
+    assert agree > 0.95

@@ -1,0 +1,106 @@
+"""Distributed (shard_map) tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation as ScipyRot
+
+from rgbdslam_tpu.geometry import se3
+from rgbdslam_tpu.parallel.dist_ba import (
+    distributed_pose_graph_optimize,
+    make_mesh,
+    shard_edges,
+)
+from rgbdslam_tpu.solvers.pose_graph import PoseGraphEdges, optimize_pose_graph
+
+
+def _chain_problem(rng, n=10):
+    gt = [np.eye(4, dtype=np.float32)]
+    for i in range(1, n):
+        d = np.eye(4, dtype=np.float32)
+        d[:3, :3] = ScipyRot.from_rotvec(rng.normal(scale=0.1, size=3)).as_matrix()
+        d[:3, 3] = rng.normal(scale=0.3, size=3)
+        gt.append((gt[-1] @ d).astype(np.float32))
+    est = [gt[0]]
+    for i in range(1, n):
+        noise = np.asarray(se3.exp(jnp.asarray(rng.normal(scale=0.05, size=6).astype(np.float32))))
+        est.append((noise @ gt[i]).astype(np.float32))
+    a, b, Z = [], [], []
+    for i in range(1, n):
+        a.append(i), b.append(i - 1), Z.append(np.linalg.inv(gt[i]) @ gt[i - 1])
+        if i >= 2:
+            a.append(i), b.append(i - 2), Z.append(np.linalg.inv(gt[i]) @ gt[i - 2])
+    edges = PoseGraphEdges(
+        a=jnp.asarray(np.asarray(a, np.int32)),
+        b=jnp.asarray(np.asarray(b, np.int32)),
+        Z=jnp.asarray(np.stack(Z).astype(np.float32)),
+        weight=jnp.full((len(a),), 100.0, jnp.float32),
+    )
+    return np.stack(gt), np.stack(est), edges
+
+
+def test_eight_devices_available():
+    assert jax.device_count() >= 8
+
+
+def test_distributed_matches_single_device():
+    """Edge-sharded optimization must produce the same result as the
+    single-device solver (identical math, psum-reduced)."""
+    rng = np.random.default_rng(0)
+    gt, est, edges = _chain_problem(rng, n=10)
+    fixed = jnp.zeros((10,), bool).at[0].set(True)
+
+    T_single, cost_s = optimize_pose_graph(jnp.asarray(est), edges, fixed, 10, 1.0)
+
+    mesh = make_mesh(8)
+    edges_sh = shard_edges(edges, mesh)
+    T_dist, cost_d = distributed_pose_graph_optimize(
+        jnp.asarray(est), edges_sh, fixed, mesh, iterations=10
+    )
+    np.testing.assert_allclose(np.asarray(T_dist), np.asarray(T_single), atol=1e-4)
+
+
+def test_distributed_converges_to_gt():
+    rng = np.random.default_rng(1)
+    gt, est, edges = _chain_problem(rng, n=12)
+    fixed = jnp.zeros((12,), bool).at[0].set(True)
+    mesh = make_mesh(8)
+    T_dist, _ = distributed_pose_graph_optimize(
+        jnp.asarray(est), shard_edges(edges, mesh), fixed, mesh, iterations=15
+    )
+    out = np.asarray(T_dist)
+    for i in range(12):
+        err = np.linalg.inv(out[i]) @ gt[i]
+        assert float(se3.translation_norm(jnp.asarray(err))) < 1e-2
+        assert float(se3.rotation_angle(jnp.asarray(err))) < 1e-2
+
+
+def test_graft_dryrun_multichip():
+    """The driver's multi-chip dry run must work on the CPU mesh."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__",
+        os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
+
+
+def test_graft_entry_compiles():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__",
+        os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert out[0].shape == (4, 4)

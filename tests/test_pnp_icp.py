@@ -1,0 +1,178 @@
+"""Tests for the PnP family and ICP/GICP refinement solvers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial.transform import Rotation as ScipyRot
+
+from rgbdslam_tpu.config import IcpConfig
+from rgbdslam_tpu.geometry import se3
+from rgbdslam_tpu.geometry.camera import Camera
+from rgbdslam_tpu.solvers.icp import gicp_refine, knn_covariances, point_to_plane_icp
+from rgbdslam_tpu.solvers.pnp import motion_only_ba, pnp_ransac, reproj_residuals
+
+CAM = Camera(525.0, 525.0, 319.5, 239.5)
+
+
+def make_pnp_scene(rng, n=100, noise_px=0.0):
+    Xw = np.stack(
+        [rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n), rng.uniform(2, 6, n)],
+        axis=-1,
+    ).astype(np.float32)
+    Tcw = np.eye(4, dtype=np.float32)
+    Tcw[:3, :3] = ScipyRot.from_rotvec([0.1, -0.2, 0.05]).as_matrix()
+    Tcw[:3, 3] = [0.2, -0.1, 0.3]
+    Xc = Xw @ Tcw[:3, :3].T + Tcw[:3, 3]
+    uv = np.stack(
+        [
+            CAM.fx * Xc[:, 0] / Xc[:, 2] + CAM.cx,
+            CAM.fy * Xc[:, 1] / Xc[:, 2] + CAM.cy,
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    uv += rng.normal(scale=noise_px, size=uv.shape).astype(np.float32)
+    return Xw, uv, Tcw
+
+
+def pose_err(Ta, Tb):
+    d = np.linalg.inv(Ta) @ Tb
+    return (
+        float(se3.translation_norm(jnp.asarray(d))),
+        float(se3.rotation_angle(jnp.asarray(d))),
+    )
+
+
+def test_motion_only_ba_converges():
+    rng = np.random.default_rng(0)
+    Xw, uv, Tcw = make_pnp_scene(rng, noise_px=0.3)
+    # perturbed init
+    T0 = np.asarray(
+        se3.exp(jnp.asarray(np.r_[0.05, -0.04, 0.06, 0.02, -0.03, 0.01].astype(np.float32)))
+    ) @ Tcw
+    T_opt, inl = motion_only_ba(
+        CAM, jnp.asarray(T0), jnp.asarray(Xw), jnp.asarray(uv),
+        jnp.ones(len(Xw), bool),
+    )
+    tn, rn = pose_err(np.asarray(T_opt), Tcw)
+    assert tn < 5e-3 and rn < 5e-3, (tn, rn)
+    assert int(inl.sum()) > 90
+
+
+def test_motion_only_ba_demotes_outliers():
+    rng = np.random.default_rng(1)
+    Xw, uv, Tcw = make_pnp_scene(rng, noise_px=0.2)
+    uv_c = uv.copy()
+    uv_c[:15] += 40.0  # gross pixel outliers
+    T0 = np.asarray(
+        se3.exp(jnp.asarray(np.r_[0.02, 0.02, -0.02, 0.01, 0.01, -0.01].astype(np.float32)))
+    ) @ Tcw
+    T_opt, inl = motion_only_ba(
+        CAM, jnp.asarray(T0), jnp.asarray(Xw), jnp.asarray(uv_c),
+        jnp.ones(len(Xw), bool),
+    )
+    inl = np.asarray(inl)
+    assert inl[:15].sum() == 0        # outliers demoted (chi2 gate)
+    tn, rn = pose_err(np.asarray(T_opt), Tcw)
+    assert tn < 0.01 and rn < 0.01
+
+
+def test_pnp_ransac_with_outliers():
+    rng = np.random.default_rng(2)
+    Xw, uv, Tcw = make_pnp_scene(rng, n=200, noise_px=0.3)
+    uv_c = uv.copy()
+    out_idx = rng.choice(200, 70, replace=False)
+    uv_c[out_idx] = rng.uniform([0, 0], [640, 480], size=(70, 2))
+    res = pnp_ransac(
+        CAM, jnp.asarray(Xw), jnp.asarray(uv_c), jnp.ones(200, bool),
+        jax.random.PRNGKey(0),
+    )
+    assert bool(res.success)
+    tn, rn = pose_err(np.asarray(res.Tcw), Tcw)
+    assert tn < 0.02 and rn < 0.01, (tn, rn)
+    assert int(res.num_inliers) > 100
+
+
+def test_reproj_residual_zero_at_truth():
+    rng = np.random.default_rng(3)
+    Xw, uv, Tcw = make_pnp_scene(rng)
+    r = np.asarray(
+        reproj_residuals(CAM, jnp.asarray(Tcw), jnp.asarray(Xw), jnp.asarray(uv))
+    )
+    assert np.abs(r).max() < 1e-2
+
+
+# ---------------------------------------------------------------------------
+# ICP / GICP
+# ---------------------------------------------------------------------------
+
+
+def make_surface(rng, n=256):
+    """Points on a bumpy surface (well-conditioned for plane-to-plane)."""
+    xy = rng.uniform(-1, 1, size=(n, 2)).astype(np.float32)
+    z = 2.0 + 0.3 * np.sin(2 * xy[:, 0]) + 0.2 * np.cos(3 * xy[:, 1])
+    return np.stack([xy[:, 0], xy[:, 1], z], axis=-1).astype(np.float32)
+
+
+def test_gicp_refines_noisy_init():
+    rng = np.random.default_rng(4)
+    p1 = make_surface(rng)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = ScipyRot.from_rotvec([0.02, 0.03, -0.01]).as_matrix()
+    T[:3, 3] = [0.03, -0.02, 0.04]
+    p2 = p1 @ T[:3, :3].T + T[:3, 3]
+    # perturbed warm start (as from a coarse RANSAC)
+    T0 = np.asarray(
+        se3.exp(jnp.asarray(np.r_[0.02, -0.02, 0.01, 0.01, -0.01, 0.005].astype(np.float32)))
+    ) @ T
+    cfg = IcpConfig(max_iterations=10, max_correspondence_dist=0.2)
+    T_ref, converged, n = gicp_refine(
+        jnp.asarray(p1), jnp.asarray(p2), jnp.ones(len(p1), bool),
+        jnp.asarray(T0), None, cfg,
+    )
+    assert bool(converged)
+    tn, rn = pose_err(np.asarray(T_ref), T)
+    tn0, rn0 = pose_err(T0, T)
+    assert tn < tn0 * 0.3 and rn < rn0 * 0.5, (tn, tn0, rn, rn0)
+
+
+def test_gicp_under_constrained_returns_init():
+    cfg = IcpConfig()
+    p = jnp.zeros((32, 3))
+    T0 = jnp.eye(4)
+    T_ref, converged, n = gicp_refine(p, p, jnp.zeros(32, bool), T0, None, cfg)
+    assert not bool(converged)
+    np.testing.assert_allclose(np.asarray(T_ref), np.eye(4))
+
+
+def test_knn_covariances_planar():
+    rng = np.random.default_rng(5)
+    pts = make_surface(rng, 128)
+    C = np.asarray(
+        knn_covariances(jnp.asarray(pts), jnp.ones(128, bool), k=8)
+    )
+    assert C.shape == (128, 3, 3)
+    # symmetric PSD
+    np.testing.assert_allclose(C, np.swapaxes(C, 1, 2), atol=1e-6)
+    evals = np.linalg.eigvalsh(C)
+    assert evals.min() > 0
+
+
+def test_point_to_plane_icp():
+    rng = np.random.default_rng(6)
+    src = make_surface(rng, 512)
+    # normals of the analytic surface z = 2 + .3 sin(2x) + .2 cos(3y)
+    nx = -0.6 * np.cos(2 * src[:, 0])
+    ny = 0.6 * np.sin(3 * src[:, 1])
+    normals = np.stack([nx, ny, np.ones_like(nx)], axis=-1)
+    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = ScipyRot.from_rotvec([0.01, 0.02, -0.015]).as_matrix()
+    T[:3, 3] = [0.02, -0.03, 0.01]
+    dst = src @ T[:3, :3].T + T[:3, 3]
+    dst_normals = (normals @ T[:3, :3].T).astype(np.float32)
+    T_est = point_to_plane_icp(
+        jnp.asarray(src), jnp.asarray(dst), jnp.asarray(dst_normals),
+        jnp.eye(4), iters=10,
+    )
+    tn, rn = pose_err(np.asarray(T_est), T)
+    assert tn < 5e-3 and rn < 5e-3, (tn, rn)

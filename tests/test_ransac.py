@@ -159,3 +159,31 @@ def test_ransac_all_invalid():
     )
     assert not bool(res.success)
     assert int(res.num_inliers.sum()) == 0 or not bool(res.success)
+
+
+def test_error_model_variants():
+    """PUT-style error models (Solver/Ransac.h:15-19) all recover the
+    transform on clean-but-outlier-contaminated data."""
+    from rgbdslam_tpu.geometry.camera import SYNTHETIC
+
+    rng = np.random.default_rng(7)
+    n = 128
+    p1, p2, T = make_scene(rng, n=n, noise=0.002)
+    out_idx = rng.choice(n, 40, replace=False)
+    p2c = p2.copy()
+    p2c[out_idx] += rng.normal(scale=1.0, size=(40, 3)).astype(np.float32)
+    w = np.ones(n, dtype=np.float32)
+    valid = jnp.ones(n, dtype=bool)
+
+    for model in ["euclidean", "adaptive_euclidean", "reprojection", "both"]:
+        cfg = RansacConfig(error_model=model)
+        res = ransac_se3(
+            jnp.asarray(p1), jnp.asarray(p2c), jnp.asarray(w), valid,
+            jax.random.PRNGKey(10), cfg, SYNTHETIC,
+        )
+        assert bool(res.success), model
+        T_est = np.asarray(res.T21)
+        dR = T_est[:3, :3].T @ T[:3, :3]
+        ang = np.degrees(np.arccos(np.clip(0.5 * (np.trace(dR) - 1), -1, 1)))
+        assert ang < 1.0, (model, ang)
+        assert np.linalg.norm(T_est[:3, 3] - T[:3, 3]) < 0.05, model
