@@ -88,6 +88,55 @@ def match_frames(
     return m.replace(valid=valid)
 
 
+@functools.partial(jax.jit, static_argnums=(3,))
+def projection_match(
+    f1: FrameFeatures,
+    f2: FrameFeatures,
+    T_cw2_mul_wc1: jnp.ndarray,
+    cam=None,
+    radius: float = 15.0,
+    th_high: int = 100,
+) -> MatchResult:
+    """Projection-guided matching (Matcher::projectionMatch,
+    Features/Matcher.cpp:35-104): project frame-1 points into frame 2, search
+    frame-2 keypoints within a pixel radius, pick the minimum-descriptor-
+    distance candidate <= TH_HIGH.
+
+    The reference walks a 64x48 spatial hash grid per keypoint
+    (Frame::getFeaturesInArea); on TPU the window query is a dense masked
+    (N1, N2) distance computation — no grid needed at these sizes.
+
+    T_cw2_mul_wc1: (4, 4) transform taking frame-1 camera coords to frame-2
+    camera coords (T21). cam: static Camera.
+    """
+    q = se3_transform(T_cw2_mul_wc1, f1.xyz)          # (N1, 3) in cam-2
+    z = jnp.maximum(q[:, 2], 1e-6)
+    u = cam.fx * q[:, 0] / z + cam.cx
+    v = cam.fy * q[:, 1] / z + cam.cy
+    proj_ok = (
+        f1.obs_valid & (q[:, 2] > 0)
+        & (u >= 0) & (u <= cam.width - 1)
+        & (v >= 0) & (v <= cam.height - 1)
+    )
+    duv = jnp.stack([u, v], axis=-1)[:, None, :] - f2.uv_undist[None, :, :]
+    in_window = jnp.sum(duv * duv, axis=-1) <= radius * radius  # (N1, N2)
+
+    d = hamming.hamming_distance_matrix(f1.desc, f2.desc, proj_ok, f2.obs_valid)
+    d = jnp.where(in_window, d, BIG_DIST)
+    best_idx = jnp.argmin(d, axis=1).astype(jnp.int32)
+    best_dist = jnp.take_along_axis(d, best_idx[:, None], axis=1)[:, 0]
+    # train dedup by mutual-nearest (reference: first-come wins, order-dep.)
+    col_best = jnp.argmin(d, axis=0).astype(jnp.int32)
+    rows = jnp.arange(f1.desc.shape[0], dtype=jnp.int32)
+    mutual = col_best[best_idx] == rows
+    valid = proj_ok & mutual & (best_dist <= th_high)
+    return MatchResult(idx2=best_idx, dist=best_dist, valid=valid)
+
+
+def se3_transform(T: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    return pts @ T[:3, :3].T + T[:3, 3]
+
+
 @jax.jit
 def gather_matched_points(f1: FrameFeatures, f2: FrameFeatures, m: MatchResult):
     """Matched 3D-3D correspondence arrays (camera frames), masked.

@@ -147,6 +147,53 @@ def valid_depth(cam: Camera, depth: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def random_keypoints(cam: Camera, key, n: int, border: float = 20.0) -> jnp.ndarray:
+    """Uniform random pixel locations inside the image (synthetic-test hook;
+    RGBDcamera::createRandomKeypoint, Core/RGBDcamera.cpp:163-176)."""
+    import jax
+
+    return jax.random.uniform(
+        key, (n, 2),
+        minval=jnp.asarray([border, border], jnp.float32),
+        maxval=jnp.asarray([cam.width - 1 - border, cam.height - 1 - border],
+                           jnp.float32),
+    )
+
+
+def random_visible_points(cam: Camera, key, n: int,
+                          z_range=(0.5, 4.0)) -> jnp.ndarray:
+    """Random 3-D points guaranteed visible in the frustum
+    (RGBDcamera::createRandomVisiblePoint, Core/RGBDcamera.cpp:178-192)."""
+    import jax
+
+    k1, k2 = jax.random.split(key)
+    uv = random_keypoints(cam, k1, n)
+    z = jax.random.uniform(k2, (n,), minval=z_range[0], maxval=z_range[1])
+    return unproject(cam, uv, z)
+
+
+def camera_from_dict(d: dict) -> Camera:
+    """Camera from a plain dict/JSON (the reference's unused YAML camera
+    loader, System/Utility.cpp:37-64, as a format-agnostic equivalent)."""
+    return Camera(
+        fx=float(d["fx"]), fy=float(d["fy"]),
+        cx=float(d["cx"]), cy=float(d["cy"]),
+        k1=float(d.get("k1", 0.0)), k2=float(d.get("k2", 0.0)),
+        k3=float(d.get("k3", 0.0)), p1=float(d.get("p1", 0.0)),
+        p2=float(d.get("p2", 0.0)),
+        depth_factor=float(d.get("depth_factor", 5000.0)),
+        width=int(d.get("width", 640)), height=int(d.get("height", 480)),
+    )
+
+
+def load_camera(path: str) -> Camera:
+    """Load a camera from a JSON file."""
+    import json
+
+    with open(path) as f:
+        return camera_from_dict(json.load(f))
+
+
 def in_bounds(cam: Camera, uv: jnp.ndarray, border: float = 0.0) -> jnp.ndarray:
     """Mask of pixel coords inside the image (Frame bounds check,
     Core/Frame.cpp:283-315)."""

@@ -39,11 +39,18 @@ class KeyframeStore:
                 "KeyframeConfig.max_keyframes"
             )
         k = self.count
-        self.desc[k] = np.asarray(f.desc)
-        self.xyz[k] = np.asarray(f.xyz)
-        self.obs_valid[k] = np.asarray(f.obs_valid)
-        self.uv[k] = np.asarray(f.uv_undist)
-        self.intensity[k] = np.asarray(f.intensity)
+        # one bulk device->host transfer for the whole feature pytree (per-
+        # array np.asarray would pay the tunnel round trip 5x)
+        import jax
+
+        desc, xyz, obs_valid, uv, intensity = jax.device_get(
+            (f.desc, f.xyz, f.obs_valid, f.uv_undist, f.intensity)
+        )
+        self.desc[k] = desc
+        self.xyz[k] = xyz
+        self.obs_valid[k] = obs_valid
+        self.uv[k] = uv
+        self.intensity[k] = intensity
         self.poses_cw[k] = np.asarray(Tcw, dtype=np.float32)
         self.timestamps[k] = timestamp
         self.count += 1

@@ -79,33 +79,54 @@ class LandmarkStore:
         match_valid: Optional[np.ndarray] = None,  # (N_prev,)
         prev_kf: Optional[int] = None,
     ) -> np.ndarray:
-        """Register keyframe kf; returns kp->landmark assignment (N,)."""
+        """Register keyframe kf; returns kp->landmark assignment (N,).
+
+        Fully vectorized (the per-observation Python loop cost ~200 ms per
+        keyframe at a 1024-keypoint budget).
+        """
         n = len(uv_undist)
         assign = np.full((n,), -1, np.int32)
         Twc = np.linalg.inv(Tcw)
 
-        # extend tracks through matches from the previous keyframe
+        # ---- extend tracks through matches from the previous keyframe -----
         if match_idx is not None and prev_kf is not None and prev_kf in self.kp2lm:
             prev_assign = self.kp2lm[prev_kf]
-            for i_prev in np.nonzero(match_valid)[0]:
-                j = int(match_idx[i_prev])
-                if not obs_ok[j]:
-                    continue
-                l = int(prev_assign[i_prev])
-                if l >= 0 and assign[j] < 0:
-                    self._add_obs(l, kf, uv_undist[j], float(xyz_cam[j, 2]))
-                    assign[j] = l
-
-        # spawn new landmarks for unassigned observations with depth
-        for j in np.nonzero(obs_ok)[0]:
-            if assign[j] >= 0:
-                continue
-            Xw = Twc[:3, :3] @ xyz_cam[j] + Twc[:3, 3]
-            l = self._new_landmark(Xw, desc[j], intensity[j])
-            if l < 0:
-                break
-            self._add_obs(l, kf, uv_undist[j], float(xyz_cam[j, 2]))
+            i_prev = np.nonzero(np.asarray(match_valid))[0]
+            j = np.asarray(match_idx)[i_prev]
+            l = prev_assign[i_prev]
+            keep = obs_ok[j] & (l >= 0)
+            i_prev, j, l = i_prev[keep], j[keep], l[keep]
+            # dedupe multiple prev-kps matching the same current kp
+            j, first = np.unique(j, return_index=True)
+            l = l[first]
+            # only landmarks with a free observation slot
+            slot = self.obs_count[l]
+            has_slot = slot < self.M
+            j, l, slot = j[has_slot], l[has_slot], slot[has_slot]
+            self.obs_kf[l, slot] = kf
+            self.obs_uv[l, slot] = uv_undist[j]
+            self.obs_z[l, slot] = xyz_cam[j, 2]
+            self.obs_valid[l, slot] = True
+            self.obs_count[l] = slot + 1
             assign[j] = l
+
+        # ---- spawn new landmarks for unassigned observations with depth ---
+        js = np.nonzero(obs_ok & (assign < 0))[0]
+        n_new = min(len(js), self.L - self.count)
+        if n_new > 0:
+            js = js[:n_new]
+            ls = np.arange(self.count, self.count + n_new, dtype=np.int32)
+            self.Xw[ls] = xyz_cam[js] @ Twc[:3, :3].T + Twc[:3, 3]
+            self.desc[ls] = desc[js]
+            self.intensity[ls] = intensity[js]
+            self.valid[ls] = True
+            self.obs_kf[ls, 0] = kf
+            self.obs_uv[ls, 0] = uv_undist[js]
+            self.obs_z[ls, 0] = xyz_cam[js, 2]
+            self.obs_valid[ls, 0] = True
+            self.obs_count[ls] = 1
+            assign[js] = ls
+            self.count += n_new
 
         self.kp2lm[kf] = assign
         return assign

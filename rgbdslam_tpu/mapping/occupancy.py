@@ -134,6 +134,32 @@ def insert_cloud(
     )
 
 
+def save_grid(path: str, grid: OccupancyGrid) -> None:
+    """Persist the occupancy map (OctomapDrawer::save analog,
+    Drawer/OctomapDrawer.cpp:27-36 — which the reference never calls)."""
+    np.savez_compressed(
+        path,
+        log_odds=np.asarray(grid.log_odds),
+        color_sum=np.asarray(grid.color_sum),
+        color_cnt=np.asarray(grid.color_cnt),
+        origin=np.asarray(grid.origin),
+        resolution=np.asarray(grid.resolution),
+    )
+
+
+def load_grid(path: str) -> OccupancyGrid:
+    import jax.numpy as jnp
+
+    d = np.load(path)
+    return OccupancyGrid(
+        log_odds=jnp.asarray(d["log_odds"]),
+        color_sum=jnp.asarray(d["color_sum"]),
+        color_cnt=jnp.asarray(d["color_cnt"]),
+        origin=jnp.asarray(d["origin"]),
+        resolution=float(d["resolution"]),
+    )
+
+
 def occupied_voxels(grid: OccupancyGrid, threshold: float = 0.9):
     """World-space centers + mean intensity of voxels with occupancy >=
     threshold (the render set, Drawer/OctomapDrawer.cpp:133-216).

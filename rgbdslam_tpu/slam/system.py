@@ -64,6 +64,33 @@ class SlamSystem:
         self._key = jax.random.PRNGKey(seed + 12345)
         self.tracker.on_keyframe = self._on_keyframe
 
+        # batched candidate verification: match + RANSAC vmapped over C
+        # candidate keyframes against the current one in a single device
+        # program — the sequential per-candidate loop costs C x 2 dispatch
+        # round trips through the TPU tunnel
+        matcher_cfg, ransac_cfg = cfg.matcher, cfg.ransac
+
+        def _verify_one(desc_i, xyz_i, valid_i, desc_k, xyz_k, valid_k, key):
+            m = match_descriptors(desc_i, valid_i, desc_k, valid_k,
+                                  matcher_cfg.nn_ratio)
+            mvalid = m.valid & valid_k[m.idx2]
+            p1 = xyz_i
+            p2 = xyz_k[m.idx2]
+            z1 = jnp.maximum(p1[:, 2], 1e-6)
+            z2 = jnp.maximum(p2[:, 2], 1e-6)
+            w = jnp.where(mvalid, 1.0 / (z1 * z2), 0.0)
+            n_matches = jnp.sum(mvalid)
+            res = ransac_se3(p1, p2, w, mvalid, key, ransac_cfg)
+            return res.T21, res.num_inliers, res.success, n_matches
+
+        def _verify_batch(descs, xyzs, valids, desc_k, xyz_k, valid_k, key):
+            keys = jax.random.split(key, descs.shape[0])
+            return jax.vmap(
+                _verify_one, in_axes=(0, 0, 0, None, None, None, 0)
+            )(descs, xyzs, valids, desc_k, xyz_k, valid_k, keys)
+
+        self._verify_batch = jax.jit(_verify_batch)
+
     # ------------------------------------------------------------------
     def track(self, timestamp: float, gray, depth) -> np.ndarray:
         return self.tracker.track(timestamp, gray, depth)
@@ -114,22 +141,44 @@ class SlamSystem:
             self.graph.add_odometry_edge(k, k - 1)
             connections.add(k - 1)
 
-        # proximity edges (createLocalEdges)
+        # proximity edges (createLocalEdges), batched: all candidates are
+        # matched + RANSAC-verified in one vmapped device call
         pg_cfg = self.cfg.pose_graph
-        for j in self.store.nearest(k, pg_cfg.proximity_radius,
-                                    pg_cfg.max_proximity_candidates):
-            if self.graph.has_edge(k, j):
-                continue
-            ok, T_jk, _ = self._match_and_verify(j, k, pg_cfg.proximity_min_matches)
-            if not ok:
-                continue
-            # RansacSE3(F1=j, F2=k) yields T with p_k = T p_j = T_{k<-j};
-            # edge (a=k, b=j) needs Z = T_{a<-b} in Twc-vertex convention:
-            # Z = X_k^-1 X_j = Tcw_k Twc_j = T_{k<-j}. Matches the reference
-            # wiring (Solver/PoseGraph.cpp:147-153).
-            self.graph.add_edge(k, j, T_jk)
-            connections.add(j)
-            self.loop_detector.connect(k, j)
+        cands = [
+            j for j in self.store.nearest(k, pg_cfg.proximity_radius,
+                                          pg_cfg.max_proximity_candidates)
+            if not self.graph.has_edge(k, j)
+        ]
+        if cands:
+            C = pg_cfg.max_proximity_candidates
+            idx = np.zeros((C,), np.int32)
+            idx[: len(cands)] = cands
+            descs = jnp.asarray(self.store.desc[idx])
+            xyzs = jnp.asarray(self.store.xyz[idx])
+            valids = jnp.asarray(self.store.obs_valid[idx])
+            # padding slots point at candidate 0 with their results ignored
+            T_b, ninl_b, ok_b, nm_b = self._verify_batch(
+                descs, xyzs, valids,
+                jnp.asarray(self.store.desc[k]),
+                jnp.asarray(self.store.xyz[k]),
+                jnp.asarray(self.store.obs_valid[k]),
+                self._next_key(),
+            )
+            T_b, ninl_b, ok_b, nm_b = jax.device_get((T_b, ninl_b, ok_b, nm_b))
+            for c, j in enumerate(cands):
+                if not ok_b[c]:
+                    continue
+                if nm_b[c] < pg_cfg.proximity_min_matches:
+                    continue
+                if ninl_b[c] < pg_cfg.proximity_min_matches:
+                    continue
+                # RansacSE3(F1=j, F2=k) yields T with p_k = T p_j = T_{k<-j};
+                # edge (a=k, b=j) needs Z = T_{a<-b} in Twc-vertex convention:
+                # Z = X_k^-1 X_j = Tcw_k Twc_j = T_{k<-j}. Matches the
+                # reference wiring (Solver/PoseGraph.cpp:147-153).
+                self.graph.add_edge(k, j, np.asarray(T_b[c]))
+                connections.add(j)
+                self.loop_detector.connect(k, j)
 
         self.loop_detector.add(np.asarray(f.desc), np.asarray(f.obs_valid),
                                connections)

@@ -80,6 +80,19 @@ class Tracker:
         self.ref_Tcw = np.eye(4, dtype=np.float32)
         self.ref2_Tcw = np.eye(4, dtype=np.float32)
 
+        # fused VO estimate: match + gather + RANSAC in ONE device program —
+        # the host-orchestrated path would otherwise pay 3-4 dispatch round
+        # trips per frame (expensive through the TPU tunnel)
+        matcher_cfg, ransac_cfg = cfg.matcher, cfg.ransac
+
+        def _fused(ref: FrameFeatures, cur: FrameFeatures, key):
+            m = match_frames(ref, cur, matcher_cfg.nn_ratio)
+            p1, p2, w, valid = gather_matched_points(ref, cur, m)
+            res = ransac_se3(p1, p2, w, valid, key, ransac_cfg)
+            return res, p1, p2
+
+        self._fused_estimate = jax.jit(_fused)
+
         # keyframes: host registry (features + poses); device-side stores for
         # the backend live in mapping/keyframes.py
         self.keyframes: List[Tuple[float, FrameFeatures, np.ndarray]] = []
@@ -94,13 +107,8 @@ class Tracker:
         return sub
 
     def _estimate(self, ref: FrameFeatures, cur: FrameFeatures) -> RansacResult:
-        m = match_frames(ref, cur, self.cfg.matcher.nn_ratio)
-        p1, p2, w, valid = gather_matched_points(ref, cur, m)
-        return ransac_se3(p1, p2, w, valid, self._next_key(), self.cfg.ransac), (
-            p1,
-            p2,
-            valid,
-        )
+        res, p1, p2 = self._fused_estimate(ref, cur, self._next_key())
+        return res, (p1, p2, res.inliers)
 
     # ------------------------------------------------------------------
     def track(self, timestamp: float, gray, depth) -> np.ndarray:
@@ -145,14 +153,22 @@ class Tracker:
         """Frame-to-frame VO with second-reference retry and GICP refinement
         (System/Tracking.cpp:121-163)."""
         (res, pts), ref_Tcw = self._estimate(self.ref_frame, f), self.ref_Tcw
-        success = bool(res.success)
+        # one bulk device->host read for all per-frame scalars (separate
+        # bool()/float()/int() reads each pay a tunnel round trip)
+        success, rmse, T21_host, n_inl = jax.device_get(
+            (res.success, res.rmse, res.T21, res.num_inliers)
+        )
+        success = bool(success)
 
         if not success and self.ref2_frame is not None:
             # anti-drift hover heuristic (System/Tracking.cpp:136-143)
             (res, pts), ref_Tcw = self._estimate(self.ref2_frame, f), self.ref2_Tcw
-            success = bool(res.success)
+            success, rmse, T21_host, n_inl = jax.device_get(
+                (res.success, res.rmse, res.T21, res.num_inliers)
+            )
+            success = bool(success)
 
-        if success and self.cfg.use_icp_refinement and float(res.rmse) >= self.cfg.icp.rmse_trigger:
+        if success and self.cfg.use_icp_refinement and float(rmse) >= self.cfg.icp.rmse_trigger:
             # GICP refinement on the matched sets (System/Tracking.cpp:145-151).
             # Divergence from the reference: a non-converged GICP keeps the
             # RANSAC pose instead of declaring tracking lost — the reference
@@ -161,17 +177,17 @@ class Tracker:
             p1, p2, valid = pts
             T_ref, converged, _ = gicp_refine(p1, p2, res.inliers, res.T21,
                                               None, self.cfg.icp)
+            converged, T_ref_host = jax.device_get((converged, T_ref))
             if bool(converged):
-                res = res.replace(T21=T_ref)
+                T21_host = T_ref_host
 
-        n_inl = int(res.num_inliers) if success else 0
+        n_inl = int(n_inl) if success else 0
         self._last_inliers = n_inl
         self.stats.frames += 1
         self.stats.acum_inliers += n_inl
 
         if success:
-            T21 = np.asarray(res.T21)
-            Tcw = (T21 @ ref_Tcw).astype(np.float32)
+            Tcw = (np.asarray(T21_host) @ ref_Tcw).astype(np.float32)
         else:
             # recover(): hold the reference pose (System/Tracking.cpp:195-199)
             self.stats.failures += 1

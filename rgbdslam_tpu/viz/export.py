@@ -66,6 +66,36 @@ def plot_trajectories(path: str, trajectories: Sequence, labels: Sequence[str],
     plt.close(fig)
 
 
+def draw_matches(gray1: np.ndarray, uv1: np.ndarray, gray2: np.ndarray,
+                 uv2: np.ndarray, idx2: np.ndarray, valid: np.ndarray,
+                 max_lines: int = 200) -> np.ndarray:
+    """Side-by-side match visualization (Matcher::drawMatches,
+    Features/Matcher.cpp:19-33): frames stacked horizontally, matched
+    keypoints connected."""
+    h = max(gray1.shape[0], gray2.shape[0])
+    w1, w2 = gray1.shape[1], gray2.shape[1]
+    canvas = np.zeros((h, w1 + w2, 3), np.uint8)
+    for img, off in ((gray1, 0), (gray2, w1)):
+        g = np.clip(np.asarray(img), 0, 255).astype(np.uint8)
+        canvas[: g.shape[0], off : off + g.shape[1]] = g[..., None]
+
+    n_drawn = 0
+    for i in np.nonzero(np.asarray(valid))[0]:
+        if n_drawn >= max_lines:
+            break
+        x1, y1 = int(round(uv1[i, 0])), int(round(uv1[i, 1]))
+        j = int(idx2[i])
+        x2, y2 = int(round(uv2[j, 0])) + w1, int(round(uv2[j, 1]))
+        # simple Bresenham-free line: sample along the segment
+        steps = max(abs(x2 - x1), abs(y2 - y1), 1)
+        xs = np.linspace(x1, x2, steps).astype(int)
+        ys = np.linspace(y1, y2, steps).astype(int)
+        ok = (ys >= 0) & (ys < h) & (xs >= 0) & (xs < w1 + w2)
+        canvas[ys[ok], xs[ok]] = (0, 220, 0)
+        n_drawn += 1
+    return canvas
+
+
 def draw_tracked_points(gray: np.ndarray, uv: np.ndarray, inlier: np.ndarray,
                         valid: np.ndarray) -> np.ndarray:
     """RGB overlay of tracked keypoints: inliers bright, others dim
