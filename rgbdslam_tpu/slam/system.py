@@ -61,6 +61,9 @@ class SlamSystem:
         )
         self.kfs_since_loop = 0
         self.loops_closed = 0
+        self.last_loop_candidates = 0   # viewer HUD counter analog
+                                        # (Tracking::loopCandidates,
+                                        #  Drawer/Viewer.cpp:113-120)
         self._key = jax.random.PRNGKey(seed + 12345)
         self.tracker.on_keyframe = self._on_keyframe
 
@@ -226,7 +229,9 @@ class SlamSystem:
             int(self.tracker.stats.mean_inliers * self.cfg.loop.match_fraction),
             self.cfg.ransac.min_inliers,
         )
-        for j in self.loop_detector.candidates(k):
+        cands = self.loop_detector.candidates(k)
+        self.last_loop_candidates = len(cands)
+        for j in cands:
             if self.graph.has_edge(k, j):
                 continue
             ok, T_jk, _ = self._match_and_verify(j, k, th)
