@@ -36,6 +36,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--out-dir", default="slam_out")
     p.add_argument("--odometry-only", action="store_true",
                    help="tracking only: no pose graph / loop closure")
+    p.add_argument("--dense-icp", action="store_true",
+                   help="dense projective point-to-plane refinement per frame")
+    p.add_argument("--local-ba", action="store_true",
+                   help="sliding-window landmark bundle adjustment")
     p.add_argument("--detector", default="svo_fast",
                    choices=["svo_fast", "orb", "gftt"])
     p.add_argument("--adaptive", action="store_true",
@@ -102,6 +106,10 @@ def main(argv=None) -> int:
             fast_threshold=args.fast_threshold,
         ),
         loop=LoopConfig(id_interval=args.loop_interval),
+        use_dense_icp=args.dense_icp,
+        use_local_ba=args.local_ba,
+        detector=args.detector,
+        adaptive=args.adaptive,
     )
 
     if args.odometry_only:

@@ -171,6 +171,13 @@ class SlamConfig:
     pose_graph: PoseGraphConfig = PoseGraphConfig()
     loop: LoopConfig = LoopConfig()
     use_icp_refinement: bool = True
+    # detector variant + ADAPTIVE mode (Features/Extractor.h:13-31 factory)
+    detector: str = "svo_fast"        # 'svo_fast' | 'orb' | 'gftt'
+    adaptive: bool = False
+    # dense projective point-to-plane refinement of every successful VO
+    # estimate (solvers/dense_icp.py) — the ICL-NUIM-class dense config
+    use_dense_icp: bool = False
+    dense_icp_levels: Tuple[int, ...] = (4, 2)
     image_size: Tuple[int, int] = (480, 640)   # (H, W)
     # local landmark-keyframe BA over a sliding window (a capability beyond
     # the reference, SURVEY.md §7 layer 7 / BASELINE config 3)

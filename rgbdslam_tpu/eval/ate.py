@@ -76,6 +76,11 @@ def ate_rmse(
         return float("inf"), {"pairs": 0}
     p_est = poses_est[ia, :3, 3]
     p_gt = poses_gt[ib, :3, 3]
+    finite = np.isfinite(p_est).all(axis=-1) & np.isfinite(p_gt).all(axis=-1)
+    if finite.sum() < 2:
+        return float("inf"), {"pairs": 0, "nonfinite": int((~finite).sum())}
+    if not finite.all():
+        p_est, p_gt = p_est[finite], p_gt[finite]
     R, t, s = align_umeyama(p_est, p_gt, with_scale)
     aligned = (s * (R @ p_est.T)).T + t
     err = np.linalg.norm(aligned - p_gt, axis=-1)

@@ -85,11 +85,12 @@ def build_frame_features(
 
     blurred = image_ops.gaussian_blur(gray, sigma=2.0, radius=3)
     if use_orientation:
-        angles = orb_ops.ic_angles(gray, kp.uv, radius=cfg.orientation_radius)
-        desc = orb_ops.brief_descriptors(blurred, kp.uv, angles,
-                                         cfg.brief_patch_size)
+        # steered BRIEF via the binned-rotation matmul path (ORB semantics)
+        desc, _angles = orb_ops.orb_descriptors_dense(
+            blurred, gray, kp.uv, cfg.brief_patch_size
+        )
     else:
-        # upright BRIEF takes the dense bit-plane fast path (64x fewer gathers)
+        # upright BRIEF: patch extraction + one-hot MXU matmuls
         desc = orb_ops.brief_descriptors_dense(blurred, kp.uv,
                                                cfg.brief_patch_size)
 

@@ -111,10 +111,71 @@ def brief_descriptors_dense(
     min_border guarantees this); coordinates are rounded to integers (the
     grid detector emits integer pixels).
     """
-    half = patch_size // 2
-    h, w = img_blurred.shape
-    padded = jnp.pad(img_blurred, half, mode="edge")
+    flat = extract_patches(img_blurred, uv, patch_size)    # (N, 961)
+    sel_a, sel_b = _pattern_selectors(patch_size)
+    sa = flat @ jnp.asarray(sel_a)   # (N, 256) — MXU
+    sb = flat @ jnp.asarray(sel_b)
+    return _pack_bits(sa < sb)
 
+
+@functools.lru_cache()
+def _moment_weights(patch_size: int = 31, radius: int = 15):
+    """Per-patch-pixel x/y weights over the IC circle -> two (P^2,) vectors:
+    m10 = patch . wx, m01 = patch . wy (matmul-form intensity centroid)."""
+    half = patch_size // 2
+    ys, xs = np.meshgrid(
+        np.arange(-half, half + 1), np.arange(-half, half + 1), indexing="ij"
+    )
+    circle = (xs * xs + ys * ys) <= radius * radius
+    wx = (xs * circle).astype(np.float32).reshape(-1)
+    wy = (ys * circle).astype(np.float32).reshape(-1)
+    return wx, wy
+
+
+@functools.lru_cache()
+def _rotated_selectors(patch_size: int = 31, n_bins: int = 16, seed: int = 7):
+    """One-hot (bilinear-weighted) selector matrices for the BRIEF pattern
+    rotated to each of n_bins discrete angles: (P^2, n_bins * 256) for a and
+    b samples. Rotated sample positions are bilinearly distributed over the
+    4 neighboring patch pixels, so the matmul directly produces interpolated
+    intensities (ORB quantizes orientation similarly: 12 deg bins,
+    Features/ORBextractor.cpp pattern rotation)."""
+    pat = brief_pattern(patch_size, seed)  # float offsets (256, 2, 2)
+    half = patch_size // 2
+    p2 = patch_size * patch_size
+    sel = np.zeros((2, p2, n_bins * DESC_BITS), dtype=np.float32)
+    for b in range(n_bins):
+        ang = 2.0 * np.pi * b / n_bins
+        c, s = np.cos(ang), np.sin(ang)
+        for k in range(DESC_BITS):
+            for ab in range(2):
+                x, y = pat[k, ab]
+                xr = c * x - s * y
+                yr = s * x + c * y
+                # clamp into the patch and bilinearly distribute
+                xr = min(max(xr, -half), half - 1e-3)
+                yr = min(max(yr, -half), half - 1e-3)
+                x0, y0 = int(np.floor(xr)), int(np.floor(yr))
+                dx, dy = xr - x0, yr - y0
+                for (xx, yy, w) in (
+                    (x0, y0, (1 - dx) * (1 - dy)),
+                    (x0 + 1, y0, dx * (1 - dy)),
+                    (x0, y0 + 1, (1 - dx) * dy),
+                    (x0 + 1, y0 + 1, dx * dy),
+                ):
+                    xx = min(max(xx, -half), half)
+                    yy = min(max(yy, -half), half)
+                    sel[ab, (yy + half) * patch_size + (xx + half),
+                        b * DESC_BITS + k] += w
+    return sel[0], sel[1]
+
+
+def extract_patches(img: jnp.ndarray, uv: jnp.ndarray,
+                    patch_size: int = 31) -> jnp.ndarray:
+    """(N, patch^2) flattened patches at integer keypoint coords."""
+    half = patch_size // 2
+    h, w = img.shape
+    padded = jnp.pad(img, half, mode="edge")
     u = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, w - 1)
     v = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0, h - 1)
 
@@ -122,13 +183,47 @@ def brief_descriptors_dense(
         return jax.lax.dynamic_slice(padded, (vu[0], vu[1]),
                                      (patch_size, patch_size))
 
-    patches = jax.vmap(patch)(jnp.stack([v, u], axis=-1))  # (N, 31, 31)
-    flat = patches.reshape(patches.shape[0], -1)           # (N, 961)
+    patches = jax.vmap(patch)(jnp.stack([v, u], axis=-1))
+    return patches.reshape(patches.shape[0], -1)
 
-    sel_a, sel_b = _pattern_selectors(patch_size)
-    sa = flat @ jnp.asarray(sel_a)   # (N, 256) — MXU
-    sb = flat @ jnp.asarray(sel_b)
-    return _pack_bits(sa < sb)
+
+def orb_descriptors_dense(
+    img_blurred: jnp.ndarray,
+    img_raw: jnp.ndarray,
+    uv: jnp.ndarray,
+    patch_size: int = 31,
+    n_bins: int = 16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Oriented (steered) BRIEF — the TPU fast path for the 'orb' detector.
+
+    IC-angle moments and all n_bins rotated pattern samplings come from ONE
+    patch extraction + a handful of MXU matmuls; each keypoint then selects
+    its angle bin. Replaces the per-keypoint gather formulation (ic_angles +
+    rotated bilinear sampling) which serializes on the gather unit.
+
+    Returns (desc (N, 8) uint32, angles (N,) radians).
+    """
+    # moments from the raw image (IC_Angle uses unsmoothed intensities,
+    # Features/ORBextractor.cpp:16-41)
+    p_raw = extract_patches(img_raw, uv, patch_size)       # (N, P^2)
+    wx, wy = _moment_weights(patch_size)
+    m10 = p_raw @ jnp.asarray(wx)
+    m01 = p_raw @ jnp.asarray(wy)
+    angles = jnp.arctan2(m01, m10)
+
+    n_bins_f = jnp.float32(n_bins)
+    bins = jnp.mod(
+        jnp.round(angles / (2.0 * jnp.pi) * n_bins_f).astype(jnp.int32), n_bins
+    )
+
+    p_blur = extract_patches(img_blurred, uv, patch_size)  # (N, P^2)
+    sel_a, sel_b = _rotated_selectors(patch_size, n_bins)
+    sa = (p_blur @ jnp.asarray(sel_a)).reshape(-1, n_bins, DESC_BITS)
+    sb = (p_blur @ jnp.asarray(sel_b)).reshape(-1, n_bins, DESC_BITS)
+    take = bins[:, None, None]
+    sa_sel = jnp.take_along_axis(sa, take, axis=1)[:, 0, :]  # (N, 256)
+    sb_sel = jnp.take_along_axis(sb, take, axis=1)[:, 0, :]
+    return _pack_bits(sa_sel < sb_sel), angles
 
 
 def brief_descriptors(

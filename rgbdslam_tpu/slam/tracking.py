@@ -22,9 +22,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from rgbdslam_tpu.config import SlamConfig
+from rgbdslam_tpu.frontend.extractor import Extractor
 from rgbdslam_tpu.frontend.frame import FrameFeatures, build_frame_features
 from rgbdslam_tpu.frontend.matcher import gather_matched_points, match_frames
 from rgbdslam_tpu.geometry.camera import Camera
+from rgbdslam_tpu.solvers.dense_icp import dense_icp
 from rgbdslam_tpu.solvers.icp import gicp_refine
 from rgbdslam_tpu.solvers.ransac_se3 import RansacResult, ransac_se3
 
@@ -79,6 +81,12 @@ class Tracker:
         self.ref2_frame: Optional[FrameFeatures] = None
         self.ref_Tcw = np.eye(4, dtype=np.float32)
         self.ref2_Tcw = np.eye(4, dtype=np.float32)
+        self.ref_depth = None          # kept only when dense ICP is on
+        self._cur_depth = None
+        # feature extraction via the factory (detector variant + ADAPTIVE
+        # threshold feedback, frontend/extractor.py)
+        self._extractor = Extractor(cam, cfg.extractor, detector=cfg.detector,
+                                    adaptive=cfg.adaptive)
 
         # fused VO estimate: match + gather + RANSAC in ONE device program —
         # the host-orchestrated path would otherwise pay 3-4 dispatch round
@@ -114,8 +122,9 @@ class Tracker:
     def track(self, timestamp: float, gray, depth) -> np.ndarray:
         """Process one frame; returns Tcw (Tracking::track,
         System/Tracking.cpp:39-75)."""
-        f = build_frame_features(self.cam, jnp.asarray(gray), jnp.asarray(depth),
-                                 self.cfg.extractor)
+        f = self._extractor(gray, depth)
+        if self.cfg.use_dense_icp:
+            self._cur_depth = jnp.asarray(depth)
 
         if self.state is TrackerState.NOT_INITIALIZED:
             Tcw = np.eye(4, dtype=np.float32)
@@ -145,6 +154,7 @@ class Tracker:
         self.ref2_frame = f
         self.ref_Tcw = Tcw.copy()
         self.ref2_Tcw = Tcw.copy()
+        self.ref_depth = self._cur_depth
         self._last_inliers = 0
         self._create_keyframe(timestamp, f, Tcw)
         self.state = TrackerState.OK
@@ -181,6 +191,16 @@ class Tracker:
             if bool(converged):
                 T21_host = T_ref_host
 
+        if success and self.cfg.use_dense_icp and self.ref_depth is not None:
+            # dense projective point-to-plane polish of the sparse estimate
+            # (uses the ref frame's depth; skipped after ref2 fallback since
+            # only the most recent depth image is retained)
+            T_d = dense_icp(self.cam, self.ref_depth, self._cur_depth,
+                            jnp.asarray(T21_host),
+                            levels=self.cfg.dense_icp_levels,
+                            max_correction=(0.1, 0.1))
+            T21_host = jax.device_get(T_d)
+
         n_inl = int(n_inl) if success else 0
         self._last_inliers = n_inl
         self.stats.frames += 1
@@ -198,6 +218,7 @@ class Tracker:
         # slide references (System/Tracking.cpp:59-60)
         self.ref2_frame, self.ref2_Tcw = self.ref_frame, self.ref_Tcw
         self.ref_frame, self.ref_Tcw = f, Tcw.copy()
+        self.ref_depth = self._cur_depth
         return Tcw
 
     # ------------------------------------------------------------------

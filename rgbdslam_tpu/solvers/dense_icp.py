@@ -106,7 +106,7 @@ def _icp_level(cam_l: Camera, d_ref: jnp.ndarray, d_cur: jnp.ndarray,
     return jax.lax.fori_loop(0, iters, body, T_init)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7))
 def dense_icp(
     cam: Camera,
     depth_ref: jnp.ndarray,
@@ -115,6 +115,7 @@ def dense_icp(
     levels: Tuple[int, ...] = (4, 2),
     iters_per_level: int = 10,
     max_dist: float = 0.3,
+    max_correction: Tuple[float, float] = (0.5, 0.6),
 ) -> jnp.ndarray:
     """Estimate T21 (ref-camera -> cur-camera coords) by coarse-to-fine
     projective point-to-plane ICP. `levels` are subsampling factors, coarse
@@ -126,4 +127,14 @@ def dense_icp(
         d_r = depth_ref[::s, ::s]
         d_c = depth_cur[::s, ::s]
         T = _icp_level(cam_l, d_r, d_c, T, iters_per_level, max_dist)
-    return T
+
+    # trust gate: projective association is only valid near the warm start;
+    # a refinement that wanders beyond `max_correction` (trans [m], rot [rad])
+    # is divergence, not refinement — keep the initial estimate. Also guards
+    # the non-finite case (singular normal equations). Callers with a good
+    # warm start (tracker refinement) should pass a tight bound.
+    delta = se3.inverse(T_init) @ T
+    dt = se3.translation_norm(delta)
+    dr = se3.rotation_angle(delta)
+    ok = jnp.isfinite(T).all() & (dt < max_correction[0]) & (dr < max_correction[1])
+    return jnp.where(ok, T, T_init)

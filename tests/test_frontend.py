@@ -252,3 +252,51 @@ def test_match_frames_on_synthetic_pair():
     # most matches should agree within a few cm (texture is blocky; nearest-
     # neighbor depth adds noise)
     assert np.median(err) < 0.05, f"median 3D match error {np.median(err)}"
+
+
+def test_oriented_orb_rotation_invariance():
+    """Steered BRIEF: descriptors of the same patch under in-plane rotation
+    should be much closer than upright BRIEF's."""
+    rng = np.random.default_rng(12)
+    # a textured image rotated by 90 deg (exact, no interpolation artifacts)
+    img = rng.uniform(0, 255, (128, 128)).astype(np.float32)
+    img_s = np.asarray(image_ops.gaussian_blur(jnp.asarray(img), 2.0, 3))
+    rot = np.rot90(img).copy()
+    rot_s = np.asarray(image_ops.gaussian_blur(jnp.asarray(rot), 2.0, 3))
+
+    # keypoints away from borders; their rotated positions
+    uv = np.stack([rng.integers(30, 98, 48), rng.integers(30, 98, 48)],
+                  axis=-1).astype(np.float32)
+    # np.rot90: out[i, j] = in[j, W-1-i]  => point (u,v) -> (v, W-1-u)
+    uv_rot = np.stack([uv[:, 1], 127 - uv[:, 0]], axis=-1).astype(np.float32)
+
+    d1, a1 = orb_ops.orb_descriptors_dense(jnp.asarray(img_s), jnp.asarray(img),
+                                           jnp.asarray(uv))
+    d2, a2 = orb_ops.orb_descriptors_dense(jnp.asarray(rot_s), jnp.asarray(rot),
+                                           jnp.asarray(uv_rot))
+    dist_orb = np.asarray(hamming.popcount_rows(d1 ^ d2))
+
+    u1 = orb_ops.brief_descriptors_dense(jnp.asarray(img_s), jnp.asarray(uv))
+    u2 = orb_ops.brief_descriptors_dense(jnp.asarray(rot_s), jnp.asarray(uv_rot))
+    dist_up = np.asarray(hamming.popcount_rows(u1 ^ u2))
+
+    assert np.median(dist_orb) < 60, np.median(dist_orb)
+    assert np.median(dist_up) > 100          # upright breaks under 90 deg
+    assert np.median(dist_orb) < 0.6 * np.median(dist_up)
+
+
+def test_orb_angles_consistent_under_rotation():
+    rng = np.random.default_rng(13)
+    img = rng.uniform(0, 255, (128, 128)).astype(np.float32)
+    rot = np.rot90(img).copy()
+    uv = np.stack([rng.integers(30, 98, 32), rng.integers(30, 98, 32)],
+                  axis=-1).astype(np.float32)
+    uv_rot = np.stack([uv[:, 1], 127 - uv[:, 0]], axis=-1).astype(np.float32)
+    _, a1 = orb_ops.orb_descriptors_dense(jnp.asarray(img), jnp.asarray(img), jnp.asarray(uv))
+    _, a2 = orb_ops.orb_descriptors_dense(jnp.asarray(rot), jnp.asarray(rot), jnp.asarray(uv_rot))
+    # np.rot90 rotates image content by +90deg CCW in (x,y)-display terms;
+    # in (u right, v down) pixel coords the patch content rotates so angles
+    # shift by -pi/2 (mod 2pi)
+    diff = np.mod(np.asarray(a2) - np.asarray(a1) + np.pi / 2 + np.pi,
+                  2 * np.pi) - np.pi
+    assert np.median(np.abs(diff)) < 0.2, np.median(np.abs(diff))

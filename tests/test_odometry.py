@@ -69,3 +69,22 @@ def test_keyframes_created(sweep_run):
 def test_mean_inliers_tracked(sweep_run):
     _, tracker = sweep_run
     assert tracker.stats.mean_inliers > 30
+
+
+def test_odometry_with_dense_icp():
+    """Dense-ICP-polished odometry (the ICL-NUIM dense config) tracks at
+    least as well as the sparse-only path on a short sweep."""
+    cfg = SlamConfig(
+        extractor=ExtractorConfig(num_features=1024, num_levels=3, cell_size=8,
+                                  fast_threshold=15.0),
+        use_dense_icp=True,
+    )
+    ds = SyntheticDataset(n_frames=24, cam=CAM, trajectory="sweep")
+    tracker = Tracker(CAM, cfg, seed=0)
+    for i in range(len(ds)):
+        ts, gray, depth = ds.grab(i)
+        tracker.track(ts, gray, depth)
+    ts_e, poses = tracker.camera_trajectory()
+    rmse, info = ate_rmse(ts_e, poses, ds.timestamps, ds.poses_twc)
+    assert tracker.stats.failures == 0
+    assert rmse < 0.05, f"dense-ICP ATE {rmse}"
