@@ -36,6 +36,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--out-dir", default="slam_out")
     p.add_argument("--odometry-only", action="store_true",
                    help="tracking only: no pose graph / loop closure")
+    p.add_argument("--pipelined", type=int, default=0, metavar="B",
+                   help="odometry-only scan pipeline: B frames per device "
+                        "dispatch (maximum throughput; no keyframes/backend)")
     p.add_argument("--dense-icp", action="store_true",
                    help="dense projective point-to-plane refinement per frame")
     p.add_argument("--local-ba", action="store_true",
@@ -112,9 +115,13 @@ def main(argv=None) -> int:
         adaptive=args.adaptive,
     )
 
+    if args.pipelined and not args.odometry_only:
+        print("--pipelined implies --odometry-only", file=sys.stderr)
+        args.odometry_only = True
+
     if args.odometry_only:
         system = None
-        tracker = Tracker(ds.cam, cfg)
+        tracker = Tracker(ds.cam, cfg) if not args.pipelined else None
     else:
         system = SlamSystem(ds.cam, cfg)
         tracker = system.tracker
@@ -146,6 +153,33 @@ def main(argv=None) -> int:
 
     if frame_iter is None:
         frame_iter = (ds.grab(i) for i in range(n))
+
+    if args.pipelined:
+        from rgbdslam_tpu.slam.pipeline import PipelinedOdometry
+
+        pipe_odo = PipelinedOdometry(ds.cam, cfg, batch=args.pipelined)
+        ts_c, poses_c, pstats = pipe_odo.run(frame_iter)
+        wall = time.perf_counter() - t_start
+        traj_io.save_tum(os.path.join(args.out_dir, "CameraTrajectory.txt"),
+                         ts_c, poses_c)
+        result = {"frames": int(pstats.get("frames", n)),
+                  "fps": round(pstats.get("frames", n) / wall, 2),
+                  "pipelined": args.pipelined,
+                  "failures": pstats.get("failures", 0),
+                  "mean_inliers": pstats.get("mean_inliers", 0)}
+        gt = None
+        if args.eval_gt:
+            gt = traj_io.load_tum(args.eval_gt)
+        elif hasattr(ds, "poses_twc"):
+            gt = (ds.timestamps[:n], ds.poses_twc[:n])
+        if gt is not None:
+            from rgbdslam_tpu.eval.ate import ate_rmse
+
+            rmse, info = ate_rmse(ts_c, poses_c, gt[0], gt[1])
+            result.update(ate_rmse=round(rmse, 5),
+                          ate_pairs=info.get("pairs", 0))
+        print(json.dumps(result))
+        return 0
 
     track = system.track if system is not None else tracker.track
     for i, (ts, gray, depth) in enumerate(frame_iter):

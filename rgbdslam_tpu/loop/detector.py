@@ -45,6 +45,26 @@ class LoopDetector:
         self._key = jax.random.PRNGKey(seed)
 
     # ------------------------------------------------------------------
+    def load_vocabulary(self, path: str) -> None:
+        """Use a pre-trained codebook (the reference's startup vocabulary
+        load, main.cpp:32) instead of on-the-fly training."""
+        from rgbdslam_tpu.loop.vocabulary import load_vocabulary
+
+        self.words, self.idf = load_vocabulary(path)
+        if self.idf.shape[0] != self.cfg.vocab_size:
+            # dense BoW tables are sized by the configured vocab; re-size
+            self.bow_db = np.zeros(
+                (self.bow_db.shape[0], int(self.idf.shape[0])), dtype=np.float32
+            )
+        # backfill any keyframes registered before the load
+        from rgbdslam_tpu.loop.bow import bow_vector
+        import jax.numpy as jnp
+
+        for k, (d, v) in enumerate(self._pending):
+            self.bow_db[k] = np.asarray(
+                bow_vector(jnp.asarray(d), jnp.asarray(v), self.words, self.idf)
+            )
+
     def _train(self):
         desc = np.concatenate([d for d, _ in self._pending], axis=0)
         valid = np.concatenate([v for _, v in self._pending], axis=0)

@@ -137,6 +137,89 @@ def optimize_pose_graph(
 
 
 # ---------------------------------------------------------------------------
+# Sim(3) pose-graph variant — scale-drift-aware optimization (the north-star
+# "Sim(3)/SE(3) pose graph"; RGB-D runs default to SE(3) since depth pins
+# scale, but loop closure across scale drift / map merging uses this).
+# ---------------------------------------------------------------------------
+
+
+def sim3_edge_residual(Sa: jnp.ndarray, Sb: jnp.ndarray, Z: jnp.ndarray) -> jnp.ndarray:
+    """r = log_sim3(Z^-1 Sa^-1 Sb) in R^7."""
+    from rgbdslam_tpu.geometry import sim3
+
+    return sim3.log(sim3.inverse(Z) @ sim3.inverse(Sa) @ Sb)
+
+
+def _sim3_residual_and_jacobians(Sa, Sb, Z):
+    from rgbdslam_tpu.geometry import sim3
+
+    def f(xi_ab):
+        xa, xb = xi_ab[:7], xi_ab[7:]
+        return sim3_edge_residual(sim3.exp(xa) @ Sa, sim3.exp(xb) @ Sb, Z)
+
+    zero = jnp.zeros((14,), dtype=Sa.dtype)
+    r = f(zero)
+    J = jax.jacfwd(f)(zero)
+    return r, J[:, :7], J[:, 7:]
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def optimize_sim3_graph(
+    Swc: jnp.ndarray,
+    edges: PoseGraphEdges,
+    fixed: jnp.ndarray,
+    iterations: int = 10,
+    huber_delta: float = 1.0,
+    damping: float = 1e-6,
+):
+    """Gauss-Newton over Sim(3) vertices (K, 4, 4) with sim3 measurements.
+
+    Same structure as optimize_pose_graph with 7-dof blocks.
+    """
+    from rgbdslam_tpu.geometry import sim3
+
+    K = Swc.shape[0]
+    dtype = Swc.dtype
+    D = 7
+
+    def gn_iter(_, state):
+        S_cur, _prev = state
+        Sa = S_cur[edges.a]
+        Sb = S_cur[edges.b]
+        r, Ja, Jb = jax.vmap(_sim3_residual_and_jacobians)(Sa, Sb, edges.Z)
+        r_norm = jnp.linalg.norm(r, axis=-1)
+        w = edges.weight * _huber_weight(r_norm, huber_delta)
+        cost = jnp.sum(w * r_norm * r_norm)
+
+        Haa = jnp.einsum("eij,eik,e->ejk", Ja, Ja, w)
+        Hbb = jnp.einsum("eij,eik,e->ejk", Jb, Jb, w)
+        Hab = jnp.einsum("eij,eik,e->ejk", Ja, Jb, w)
+        ga = jnp.einsum("eij,ei,e->ej", Ja, r, w)
+        gb = jnp.einsum("eij,ei,e->ej", Jb, r, w)
+
+        H = jnp.zeros((K, D, K, D), dtype=dtype)
+        H = H.at[edges.a, :, edges.a, :].add(Haa)
+        H = H.at[edges.b, :, edges.b, :].add(Hbb)
+        H = H.at[edges.a, :, edges.b, :].add(Hab)
+        H = H.at[edges.b, :, edges.a, :].add(jnp.swapaxes(Hab, -1, -2))
+        g = jnp.zeros((K, D), dtype=dtype)
+        g = g.at[edges.a].add(ga)
+        g = g.at[edges.b].add(gb)
+
+        Hm = H.reshape(K * D, K * D)
+        gv = g.reshape(K * D)
+        diag_boost = jnp.where(jnp.repeat(fixed, D), 1e9, damping + 1e-8)
+        Hm = Hm + jnp.diag(diag_boost) + damping * jnp.diag(jnp.diag(Hm))
+        xi = -jnp.linalg.solve(Hm, gv).reshape(K, D)
+        xi = jnp.where(fixed[:, None], 0.0, xi)
+        return (sim3.exp(xi) @ S_cur, cost)
+
+    return jax.lax.fori_loop(
+        0, iterations, gn_iter, (Swc, jnp.asarray(jnp.inf, dtype))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Host-side graph container (edge registry semantics of Solver/PoseGraph.cpp)
 # ---------------------------------------------------------------------------
 

@@ -124,3 +124,58 @@ def test_detector_distinguishes_places():
     assert len(cands) > 0
     # best candidate must be from place A (ids 0..3; 4 is within interval)
     assert cands[0] in (0, 1, 2, 3), cands
+
+
+def test_vocabulary_save_load_roundtrip(tmp_path):
+    from rgbdslam_tpu.loop.vocabulary import load_vocabulary, save_vocabulary
+
+    rng = np.random.default_rng(10)
+    desc = random_desc(rng, 256)
+    words, idf = train_codebook(
+        jnp.asarray(desc), jnp.ones(256, dtype=bool), vocab_size=32, iters=4
+    )
+    p = str(tmp_path / "voc.npz")
+    save_vocabulary(p, words, idf)
+    w2, i2 = load_vocabulary(p)
+    np.testing.assert_array_equal(np.asarray(words), np.asarray(w2))
+    np.testing.assert_allclose(np.asarray(idf), np.asarray(i2))
+
+
+def test_detector_with_pretrained_vocab(tmp_path):
+    from rgbdslam_tpu.loop.vocabulary import save_vocabulary
+
+    rng = np.random.default_rng(11)
+    train = random_desc(rng, 512)
+    words, idf = train_codebook(
+        jnp.asarray(train), jnp.ones(512, dtype=bool), vocab_size=64, iters=4
+    )
+    p = str(tmp_path / "voc.npz")
+    save_vocabulary(p, words, idf)
+
+    cfg = LoopConfig(id_interval=3, vocab_size=64)
+    det = LoopDetector(cfg, max_keyframes=32, train_after=999)  # never auto-train
+    det.load_vocabulary(p)
+
+    place_a = random_desc(rng, 128)
+    place_b = random_desc(rng, 128)
+    valid = np.ones(128, dtype=bool)
+    seq = [place_a] * 5 + [place_b] * 5 + [place_a]
+    for k, d in enumerate(seq):
+        det.add(d, valid, connections={k - 1} if k > 0 else set())
+    cands = det.candidates(10)
+    assert len(cands) > 0
+    assert cands[0] in (0, 1, 2, 3, 4, 5, 6)
+    assert all(abs(c - 10) > 3 for c in cands)
+
+
+def test_vocabulary_training_tool(tmp_path):
+    """End-to-end offline vocabulary training over a synthetic dataset."""
+    from rgbdslam_tpu.loop import vocabulary as voc
+
+    out = str(tmp_path / "voc.npz")
+    rc = voc.main(["--dataset", "synthetic:sweep", "--frames", "4",
+                   "--stride", "2", "--vocab-size", "64", "--out", out,
+                   "--platform", "cpu"])
+    assert rc == 0
+    w, i = voc.load_vocabulary(out)
+    assert w.shape == (64, 8)
