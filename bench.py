@@ -30,12 +30,14 @@ def main():
     import jax
 
     # persistent compilation cache: repeated bench runs skip the (remote)
-    # XLA compile
+    # XLA compile. TPU-only: XLA:CPU AOT cache entries are machine-feature
+    # sensitive.
     import os as _os
 
-    _os.makedirs("/root/repo/.jax_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if jax.default_backend() != "cpu":
+        _os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from rgbdslam_tpu.config import SlamConfig

@@ -77,13 +77,16 @@ def main(argv=None) -> int:
         jax.config.update(
             "jax_platforms", "cpu" if args.platform == "cpu" else None
         )
-    # persistent compilation cache — remote TPU compiles are expensive
+    # persistent compilation cache — remote TPU compiles are expensive.
+    # CPU runs skip it: XLA:CPU AOT entries bake in host machine features and
+    # the loader warns of SIGILL when they mismatch.
     cache_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), ".jax_cache")
     try:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        if jax.default_backend() != "cpu":
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
     import numpy as np

@@ -137,16 +137,23 @@ def se3_transform(T: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     return pts @ T[:3, :3].T + T[:3, 3]
 
 
+def correspondence_weights(p1: jnp.ndarray, p2: jnp.ndarray,
+                           valid: jnp.ndarray) -> jnp.ndarray:
+    """Fit weights 1/(z1*z2) for matched 3-D pairs, zero where invalid
+    (Solver/SolverSE3.cpp:174) — the single source of the weighting
+    convention used by VO, proximity verification, and loop verification."""
+    z1 = jnp.maximum(p1[:, 2], 1e-6)
+    z2 = jnp.maximum(p2[:, 2], 1e-6)
+    return jnp.where(valid, 1.0 / (z1 * z2), 0.0)
+
+
 @jax.jit
 def gather_matched_points(f1: FrameFeatures, f2: FrameFeatures, m: MatchResult):
     """Matched 3D-3D correspondence arrays (camera frames), masked.
 
     Returns (p1 [N,3], p2 [N,3], w [N] weights 1/(z1*z2), valid [N]) — the
-    inputs of the RansacSE3 equivalent (weights: Solver/SolverSE3.cpp:174).
+    inputs of the RansacSE3 equivalent.
     """
     p1 = f1.xyz
     p2 = f2.xyz[m.idx2]
-    z1 = jnp.maximum(p1[:, 2], 1e-6)
-    z2 = jnp.maximum(p2[:, 2], 1e-6)
-    w = jnp.where(m.valid, 1.0 / (z1 * z2), 0.0)
-    return p1, p2, w, m.valid
+    return p1, p2, correspondence_weights(p1, p2, m.valid), m.valid

@@ -52,48 +52,43 @@ def so3_exp(phi: jnp.ndarray) -> jnp.ndarray:
 
 
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
-    """Log map of SO(3): (..., 3, 3) -> (..., 3). Handles angles near 0 and pi."""
+    """Log map of SO(3): (..., 3, 3) -> (..., 3). Handles angles near 0 and pi.
+
+    The generic branch normalizes by |w| = 2 sin(theta) measured directly from
+    the skew part — computing sin(arccos(trace)) instead would amplify f32
+    trace noise by 1/sin(theta) (~1000x near pi).
+    """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_t = jnp.clip(0.5 * (trace - 1.0), -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
-    w = vee(R - jnp.swapaxes(R, -1, -2))  # 2 sin(theta) * axis
-    sin_t = jnp.sin(theta)
-    # Generic branch: axis*theta = w * theta / (2 sin theta)
-    scale = jnp.where(jnp.abs(sin_t) < 1e-5, 0.5 + theta * theta / 12.0,
-                      theta / (2.0 * jnp.maximum(jnp.abs(sin_t), 1e-20) * jnp.sign(sin_t + 1e-30)))
-    generic = w * scale[..., None]
-    # Near pi: use diagonal-based axis extraction
-    # R = I*cos + (1-cos)*aa^T + sin*hat(a); diag -> a_i^2 = (R_ii - cos)/(1-cos)
-    denom = jnp.maximum(1.0 - cos_t, 1e-6)
-    axis_sq = jnp.clip(
-        (jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1) - cos_t[..., None])
-        / denom[..., None],
-        0.0,
-        1.0,
+    w = vee(R - jnp.swapaxes(R, -1, -2))      # 2 sin(theta) * axis
+    w_norm = jnp.linalg.norm(w, axis=-1)      # 2 sin(theta), well-conditioned
+    theta = jnp.arctan2(w_norm, trace - 1.0)  # = atan2(2 sin t, 2 cos t)
+    small = w_norm < 1e-6
+    # axis*theta = w * theta/|w|; theta/|w| -> 1/2 + theta^2/12 as theta -> 0
+    scale = jnp.where(
+        small, 0.5 + theta * theta / 12.0,
+        theta / jnp.where(small, 1.0, w_norm),
     )
-    axis = jnp.sqrt(axis_sq)
-    # fix signs from off-diagonal sums (sign-safe near pi)
-    s0 = R[..., 2, 1] - R[..., 1, 2]
-    s1 = R[..., 0, 2] - R[..., 2, 0]
-    s2 = R[..., 1, 0] - R[..., 0, 1]
-    signs_from_w = jnp.sign(jnp.stack([s0, s1, s2], axis=-1))
-    # when w ~ 0 (theta == pi exactly), use off-diagonal products for relative sign
-    largest = jnp.argmax(axis_sq, axis=-1)
-
-    def _pi_signs(R_, axis_, largest_):
-        # relative signs from symmetric part: (R+R^T)/2 = 2 a a^T - I (at theta=pi)
-        S = 0.5 * (R_ + jnp.swapaxes(R_, -1, -2))
-        row = jnp.take_along_axis(S, largest_[..., None, None].repeat(3, axis=-1), axis=-2)[..., 0, :]
-        sgn = jnp.sign(jnp.where(jnp.abs(row) < 1e-12, 1.0, row))
-        # sign of the largest component pinned positive
-        ref = jnp.take_along_axis(sgn, largest_[..., None], axis=-1)
-        return axis_ * sgn * ref
-
-    near_pi = theta > (jnp.pi - 1e-3)
-    w_small = jnp.sum(signs_from_w * signs_from_w, axis=-1) < 0.5
-    pi_axis = jnp.where((near_pi & w_small)[..., None], _pi_signs(R, axis, largest),
-                        axis * jnp.where(signs_from_w == 0, 1.0, signs_from_w))
-    near = pi_axis * theta[..., None]
+    generic = w * scale[..., None]
+    # Near pi: at theta = pi, R + I = 2 a a^T (+ O(pi - theta) terms), so every
+    # nonzero column of (R + I) is parallel to the axis. Take the column with
+    # the largest diagonal entry (|a_l| maximal) and normalize — this carries
+    # consistent *relative* signs for all components, unlike per-component
+    # sqrt-with-sign-fixing. The overall axis sign is ambiguous at exactly pi;
+    # when w = vee(R - R^T) is usable we align to it for continuity.
+    B = R + jnp.eye(3, dtype=R.dtype)
+    diag = jnp.stack([B[..., 0, 0], B[..., 1, 1], B[..., 2, 2]], axis=-1)
+    largest = jnp.argmax(diag, axis=-1)
+    col = jnp.take_along_axis(
+        B, largest[..., None, None].repeat(3, axis=-2), axis=-1
+    )[..., :, 0]
+    axis = col / jnp.maximum(jnp.linalg.norm(col, axis=-1, keepdims=True), 1e-12)
+    # align sign with w where w is informative
+    w_dot = jnp.sum(axis * w, axis=-1, keepdims=True)
+    axis = jnp.where(w_dot < 0, -axis, axis)
+    # crossover: the w-based axis degrades as |w| -> f32 noise, the column
+    # method as (pi - theta) grows; they balance around pi - theta ~ 3e-4
+    near_pi = theta > (jnp.pi - 3e-4)
+    near = axis * theta[..., None]
     return jnp.where(near_pi[..., None], near, generic)
 
 

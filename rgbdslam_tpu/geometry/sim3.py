@@ -80,6 +80,6 @@ def transform_points(S: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     return pts @ jnp.swapaxes(S[..., :3, :3], -1, -2) + S[..., :3, 3][..., None, :]
 
 
-def from_se3(T: jnp.ndarray, scale=1.0) -> jnp.ndarray:
-    out = T.copy() if hasattr(T, "copy") else jnp.asarray(T)
+def from_se3(T, scale=1.0) -> jnp.ndarray:
+    out = jnp.asarray(T)
     return out.at[..., :3, :3].multiply(scale)

@@ -51,7 +51,6 @@ def train_codebook(
     valid: jnp.ndarray,
     vocab_size: int = 1024,
     iters: int = 8,
-    key: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """k-majority clustering of training descriptors.
 
@@ -61,10 +60,10 @@ def train_codebook(
       vocab_size: number of words V.
       iters: Lloyd iterations.
     Returns (words (V, 8) uint32, idf (V,) f32) — idf from the training
-    corpus word frequencies (tf-idf scoring, as DBoW3's default).
+    corpus word frequencies (tf-idf scoring, as DBoW3's default). Training is
+    fully deterministic: maxmin seeding + Lloyd iterations have no random
+    component.
     """
-    if key is None:
-        key = jax.random.PRNGKey(0)
     n = desc.shape[0]
 
     # maxmin (k-means++-style) init: greedily pick the valid descriptor

@@ -34,6 +34,7 @@ from rgbdslam_tpu.loop.codebook import train_codebook
 class LoopDetector:
     def __init__(self, cfg: LoopConfig = LoopConfig(), max_keyframes: int = 512,
                  train_after: int = 5, seed: int = 0):
+        # `seed` kept for API stability; codebook training is deterministic
         self.cfg = cfg
         self.train_after = train_after
         self.words: Optional[jnp.ndarray] = None
@@ -42,7 +43,6 @@ class LoopDetector:
         self.count = 0
         self._pending: List[Tuple[np.ndarray, np.ndarray]] = []  # (desc, valid)
         self._connections: List[Set[int]] = []
-        self._key = jax.random.PRNGKey(seed)
 
     # ------------------------------------------------------------------
     def load_vocabulary(self, path: str) -> None:
@@ -70,7 +70,7 @@ class LoopDetector:
         valid = np.concatenate([v for _, v in self._pending], axis=0)
         self.words, self.idf = train_codebook(
             jnp.asarray(desc), jnp.asarray(valid),
-            self.cfg.vocab_size, self.cfg.vocab_iters, self._key,
+            self.cfg.vocab_size, self.cfg.vocab_iters,
         )
         # backfill BoW vectors for already-added keyframes
         for k, (d, v) in enumerate(self._pending):
@@ -83,6 +83,10 @@ class LoopDetector:
         """Register keyframe `count` with its direct connections
         (LoopDetector::add + Frame::mspConnectedKFs)."""
         k = self.count
+        if k >= self.bow_db.shape[0]:
+            raise RuntimeError(
+                f"loop-detector keyframe budget exceeded ({self.bow_db.shape[0]})"
+            )
         self._pending.append((np.asarray(desc), np.asarray(valid)))
         self._connections.append(set(connections))
         self.count += 1

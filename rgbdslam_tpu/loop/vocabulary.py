@@ -54,10 +54,7 @@ def train_vocabulary_from_dataset(
         valids.append(v)
     desc = np.concatenate(descs)
     valid = np.concatenate(valids)
-    return train_codebook(
-        jnp.asarray(desc), jnp.asarray(valid), vocab_size, iters,
-        jax.random.PRNGKey(seed),
-    )
+    return train_codebook(jnp.asarray(desc), jnp.asarray(valid), vocab_size, iters)
 
 
 def main(argv=None) -> int:

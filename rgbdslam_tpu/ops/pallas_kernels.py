@@ -100,10 +100,18 @@ def hamming_match_2nn(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    n = desc1.shape[0]
+    n_orig = desc1.shape[0]
     m = desc2.shape[0]
-    bn = min(block_rows, n)
-    assert n % bn == 0, "query count must be divisible by the row tile"
+    bn = min(block_rows, n_orig)
+    # pad the query side to a whole number of row tiles (padding rows are
+    # invalid and can never win a column-best: their distances are BIG)
+    pad = (-n_orig) % bn
+    if pad:
+        desc1 = jnp.concatenate(
+            [desc1, jnp.zeros((pad, desc1.shape[1]), desc1.dtype)]
+        )
+        valid1 = jnp.concatenate([valid1, jnp.zeros((pad,), bool)])
+    n = n_orig + pad
     n_tiles = n // bn
 
     v1 = valid1.astype(jnp.int32).reshape(n, 1)
@@ -138,4 +146,4 @@ def hamming_match_2nn(
     # merge per-tile column bests (tiny: n_tiles x M)
     t_best = jnp.argmin(cbd, axis=0)                      # (M,)
     col_best_row = jnp.take_along_axis(cbr, t_best[None, :], axis=0)[0]
-    return bi[:, 0], bd[:, 0], sd[:, 0], col_best_row
+    return bi[:n_orig, 0], bd[:n_orig, 0], sd[:n_orig, 0], col_best_row

@@ -30,7 +30,8 @@ import numpy as np
 
 from rgbdslam_tpu.config import SlamConfig
 from rgbdslam_tpu.frontend.frame import FrameFeatures
-from rgbdslam_tpu.frontend.matcher import match_descriptors
+from rgbdslam_tpu.frontend.matcher import (correspondence_weights,
+                                           match_descriptors)
 from rgbdslam_tpu.geometry.camera import Camera
 from rgbdslam_tpu.loop.detector import LoopDetector
 from rgbdslam_tpu.mapping.keyframes import KeyframeStore
@@ -79,9 +80,7 @@ class SlamSystem:
             mvalid = m.valid & valid_k[m.idx2]
             p1 = xyz_i
             p2 = xyz_k[m.idx2]
-            z1 = jnp.maximum(p1[:, 2], 1e-6)
-            z2 = jnp.maximum(p2[:, 2], 1e-6)
-            w = jnp.where(mvalid, 1.0 / (z1 * z2), 0.0)
+            w = correspondence_weights(p1, p2, mvalid)
             n_matches = jnp.sum(mvalid)
             res = ransac_se3(p1, p2, w, mvalid, key, ransac_cfg)
             return res.T21, res.num_inliers, res.success, n_matches
@@ -120,9 +119,7 @@ class SlamSystem:
             return False, None, 0
         p1 = jnp.asarray(xi)
         p2 = jnp.asarray(xj)[m.idx2]
-        z1 = jnp.maximum(p1[:, 2], 1e-6)
-        z2 = jnp.maximum(p2[:, 2], 1e-6)
-        w = jnp.where(m.valid, 1.0 / (z1 * z2), 0.0)
+        w = correspondence_weights(p1, p2, m.valid)
         res = ransac_se3(p1, p2, w, m.valid, self._next_key(), self.cfg.ransac)
         if not bool(res.success) or int(res.num_inliers) < min_matches:
             return False, None, int(res.num_inliers)

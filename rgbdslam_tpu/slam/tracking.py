@@ -136,6 +136,12 @@ class Tracker:
         if self.state is TrackerState.OK and len(self.keyframes) > 0:
             if self._need_keyframe(Tcw):
                 self._create_keyframe(timestamp, f, Tcw)
+                # the backend (local BA / loop closure) may have corrected
+                # keyframe poses inside on_keyframe — adopt the corrected
+                # pose for the frame that just became that keyframe, so its
+                # trajectory entry stays identity-relative to itself
+                Tcw = self.keyframes[-1][2].copy()
+                self.ref_Tcw = Tcw.copy()
 
         ref_kf_idx = len(self.keyframes) - 1
         kf_Tcw = self.keyframes[ref_kf_idx][2]
@@ -163,6 +169,7 @@ class Tracker:
         """Frame-to-frame VO with second-reference retry and GICP refinement
         (System/Tracking.cpp:121-163)."""
         (res, pts), ref_Tcw = self._estimate(self.ref_frame, f), self.ref_Tcw
+        used_ref2 = False
         # one bulk device->host read for all per-frame scalars (separate
         # bool()/float()/int() reads each pay a tunnel round trip)
         success, rmse, T21_host, n_inl = jax.device_get(
@@ -173,6 +180,7 @@ class Tracker:
         if not success and self.ref2_frame is not None:
             # anti-drift hover heuristic (System/Tracking.cpp:136-143)
             (res, pts), ref_Tcw = self._estimate(self.ref2_frame, f), self.ref2_Tcw
+            used_ref2 = True
             success, rmse, T21_host, n_inl = jax.device_get(
                 (res.success, res.rmse, res.T21, res.num_inliers)
             )
@@ -191,10 +199,13 @@ class Tracker:
             if bool(converged):
                 T21_host = T_ref_host
 
-        if success and self.cfg.use_dense_icp and self.ref_depth is not None:
-            # dense projective point-to-plane polish of the sparse estimate
-            # (uses the ref frame's depth; skipped after ref2 fallback since
-            # only the most recent depth image is retained)
+        if (success and self.cfg.use_dense_icp and not used_ref2
+                and self.ref_depth is not None):
+            # dense projective point-to-plane polish of the sparse estimate.
+            # Skipped after the ref2 fallback: only the most recent depth
+            # image is retained, and refining a T(ref2->cur) estimate against
+            # ref's depth would converge to T(ref->cur) and silently compose
+            # it with ref2's pose.
             T_d = dense_icp(self.cam, self.ref_depth, self._cur_depth,
                             jnp.asarray(T21_host),
                             levels=self.cfg.dense_icp_levels,
@@ -213,7 +224,10 @@ class Tracker:
             self.stats.failures += 1
             Tcw = self.ref_Tcw.copy()
 
-        # motion model (System/Tracking.cpp:54)
+        # motion model, updated for parity with the reference
+        # (System/Tracking.cpp:54); the reference likewise only *computes* it —
+        # its velocity-seeded recover() is commented out
+        # (System/Tracking.cpp:197)
         self.velocity = Tcw @ np.linalg.inv(self.ref_Tcw)
         # slide references (System/Tracking.cpp:59-60)
         self.ref2_frame, self.ref2_Tcw = self.ref_frame, self.ref_Tcw

@@ -35,7 +35,6 @@ def test_codebook_recovers_clusters():
     valid = np.ones(len(desc), dtype=bool)
     words, idf = train_codebook(
         jnp.asarray(desc), jnp.asarray(valid), vocab_size=8, iters=10,
-        key=jax.random.PRNGKey(1),
     )
     # each true center should be close to some learned word
     from rgbdslam_tpu.ops.hamming import hamming_distance_matrix

@@ -64,3 +64,18 @@ def test_match_descriptors_backends_agree():
     inv = np.argsort(perm)
     agree = (recovered[vmask] == inv[vmask]).mean()
     assert agree > 0.95
+
+
+def test_kernel_pads_non_tile_multiple():
+    """Regression: query counts not divisible by the row tile (e.g. the
+    reference's native 1000-feature budget) must work via padding."""
+    rng = np.random.default_rng(5)
+    n, m = 1000, 1000
+    d1 = jnp.asarray(rng.integers(0, 2**32, size=(n, 8), dtype=np.uint32))
+    d2 = jnp.asarray(rng.integers(0, 2**32, size=(m, 8), dtype=np.uint32))
+    v1 = jnp.ones((n,), bool)
+    v2 = jnp.ones((m,), bool)
+    bi, bd, sd, cbr = hamming_match_2nn(d1, d2, v1, v2, 256, True)
+    assert bi.shape == (n,)
+    D = np.asarray(hamming.hamming_distance_matrix(d1, d2, v1, v2))
+    np.testing.assert_array_equal(np.asarray(bd), D.min(axis=1))

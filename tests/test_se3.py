@@ -124,3 +124,32 @@ def test_jit_and_vmap():
     f = jax.jit(jax.vmap(se3.exp))
     T = f(jnp.asarray(xi))
     assert T.shape == (8, 4, 4)
+
+
+def test_so3_log_exact_pi_arbitrary_axis():
+    """Regression: 180-degree rotations about axes with all components
+    below sqrt(1/2) previously returned a wrong axis (sign-flip bug)."""
+    for a in [
+        np.array([1.0, 1.0, 1.0]) / np.sqrt(3),
+        np.array([0.3, -0.5, 0.81]) / np.linalg.norm([0.3, -0.5, 0.81]),
+        np.array([1.0, 0.0, 0.0]),
+    ]:
+        R = (2 * np.outer(a, a) - np.eye(3)).astype(np.float32)
+        phi = np.asarray(se3.so3_log(jnp.asarray(R)))
+        R_rt = ScipyRot.from_rotvec(phi).as_matrix()
+        np.testing.assert_allclose(R_rt, R, atol=1e-5)
+
+
+def test_so3_log_conditioning_near_pi():
+    """Angles within a few millirad of pi must reconstruct accurately (the
+    sin(arccos(.)) formulation lost ~0.1 of absolute accuracy there)."""
+    rng = np.random.default_rng(42)
+    worst = 0.0
+    for _ in range(100):
+        ax = rng.normal(size=3)
+        ax /= np.linalg.norm(ax)
+        th = np.pi - rng.uniform(0, 5e-3)
+        R = ScipyRot.from_rotvec(ax * th).as_matrix().astype(np.float32)
+        phi = np.asarray(se3.so3_log(jnp.asarray(R)))
+        worst = max(worst, np.abs(ScipyRot.from_rotvec(phi).as_matrix() - R).max())
+    assert worst < 2e-3, worst
