@@ -238,9 +238,6 @@ def main(argv=None) -> int:
         save_map(os.path.join(args.out_dir, "map.npz"), system)
 
     if args.export_ply and system is not None:
-        import jax.numpy as jnp
-
-        from rgbdslam_tpu.mapping.cloud import keyframe_cloud, transform_cloud
         from rgbdslam_tpu.viz.export import save_ply
 
         # rebuild KF clouds from the stored keyframes is not possible without

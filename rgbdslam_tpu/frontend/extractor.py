@@ -25,8 +25,6 @@ already enforced by detect_keypoints' best-per-cell reduction.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 
 from rgbdslam_tpu.config import ExtractorConfig

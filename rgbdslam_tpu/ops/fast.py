@@ -20,7 +20,7 @@ Design divergences from the reference (documented, behavior-preserving):
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Tuple
+from typing import List, NamedTuple
 
 import jax
 import jax.numpy as jnp

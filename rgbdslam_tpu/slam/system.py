@@ -22,8 +22,6 @@ Backend step per keyframe (updateGraph semantics, Solver/PoseGraph.cpp:105-126):
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

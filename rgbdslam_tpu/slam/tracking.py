@@ -14,7 +14,7 @@ Tcw_cur = T21 @ Tcw_ref (Solver/SolverSE3.cpp:124-126).
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 import jax
@@ -23,7 +23,7 @@ import numpy as np
 
 from rgbdslam_tpu.config import SlamConfig
 from rgbdslam_tpu.frontend.extractor import Extractor
-from rgbdslam_tpu.frontend.frame import FrameFeatures, build_frame_features
+from rgbdslam_tpu.frontend.frame import FrameFeatures
 from rgbdslam_tpu.frontend.matcher import gather_matched_points, match_frames
 from rgbdslam_tpu.geometry.camera import Camera
 from rgbdslam_tpu.solvers.dense_icp import dense_icp

@@ -38,7 +38,6 @@ import jax.numpy as jnp
 from flax import struct
 
 from rgbdslam_tpu.config import RansacConfig
-from rgbdslam_tpu.geometry import se3
 from rgbdslam_tpu.solvers.kabsch import weighted_rigid_transform
 
 
