@@ -62,6 +62,11 @@ class RansacConfig:
     min_inliers: int = 10             # System/Tracking.cpp:129
     max_mahalanobis: float = 3.0      # Solver/SolverSE3.cpp:12
     refine_iters: int = 4             # inner refinement re-fits (reference: <=20, converges in ~3)
+    # anisotropic (Mahalanobis-whitened) Gauss-Newton polish of the winner —
+    # beyond the reference's scalar-weighted fit; pays off when depth noise
+    # dominates (z >~ 2.5 m). Off by default for strict reference parity.
+    mahalanobis_refine: bool = False
+    mahalanobis_refine_iters: int = 5
     # Error-model selection — the PUT-style Ransac's 5 models
     # (Solver/Ransac.h:15-19): 'mahalanobis' (the live RansacSE3 model),
     # 'euclidean', 'adaptive_euclidean' (threshold grows with depth,

@@ -159,19 +159,45 @@ def sweep_trajectory(n_frames: int, span: float = 1.6) -> np.ndarray:
     return np.stack(poses)
 
 
+@functools.partial(jax.jit, static_argnums=0)
+def apply_sensor_noise(cam: Camera, gray: jnp.ndarray, depth: jnp.ndarray,
+                       key: jnp.ndarray):
+    """Kinect-class sensor corruption for realism testing:
+
+    - image shot noise (sigma ~ 2 gray levels),
+    - depth noise sigma_z = 0.0015 * z^2 — Khoshelham & Elberink's measured
+      Kinect model (the reference's RANSAC gate deliberately over-estimates
+      this as 0.01*z^2 "to be safe", Solver/SolverSE3.cpp:289-297; using the
+      gate constant as actual noise is ~7x a real sensor and breaks any
+      scalar-weighted 3D-3D estimator, the reference's included),
+    - depth dropout speckles (~3% of pixels -> 0, like IR shadowing).
+    """
+    k1, k2, k3 = jax.random.split(key, 3)
+    g = jnp.clip(gray + 2.0 * jax.random.normal(k1, gray.shape), 0.0, 255.0)
+    sigma_z = 0.0015 * depth * depth
+    d = depth + sigma_z * jax.random.normal(k2, depth.shape)
+    dropout = jax.random.uniform(k3, depth.shape) < 0.03
+    d = jnp.where(dropout | (depth <= 0), 0.0, jnp.maximum(d, 0.0))
+    return g, d
+
+
 class SyntheticDataset:
     """Dataset-interface wrapper over the renderer (IO/Dataset.h:11-39 analog).
 
     grab(i) -> (timestamp, gray [H,W] f32, depth [H,W] f32 meters).
-    Ground truth available as `.poses_twc`.
+    Ground truth available as `.poses_twc`. With noise=True, frames carry
+    Kinect-like image/depth noise + depth dropouts (deterministic per index).
     """
 
     name = "SYNTH"
 
     def __init__(self, n_frames: int = 120, cam: Camera = SYNTHETIC,
-                 trajectory: str = "orbit", fps: float = 30.0, loops: float = 1.0):
+                 trajectory: str = "orbit", fps: float = 30.0,
+                 loops: float = 1.0, noise: bool = False, seed: int = 0):
         self.cam = cam
         self.fps = fps
+        self.noise = noise
+        self._seed = seed
         if trajectory == "orbit":
             self.poses_twc = orbit_trajectory(n_frames, loops=loops)
         elif trajectory == "sweep":
@@ -185,4 +211,7 @@ class SyntheticDataset:
 
     def grab(self, i: int):
         gray, depth = render_frame(self.cam, jnp.asarray(self.poses_twc[i]))
+        if self.noise:
+            key = jax.random.fold_in(jax.random.PRNGKey(self._seed), i)
+            gray, depth = apply_sensor_noise(self.cam, gray, depth, key)
         return self.timestamps[i], gray, depth

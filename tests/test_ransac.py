@@ -187,3 +187,35 @@ def test_error_model_variants():
         ang = np.degrees(np.arccos(np.clip(0.5 * (np.trace(dR) - 1), -1, 1)))
         assert ang < 1.0, (model, ang)
         assert np.linalg.norm(T_est[:3, 3] - T[:3, 3]) < 0.05, model
+
+
+def test_mahalanobis_refine_beats_scalar_fit_under_depth_noise():
+    """Anisotropic polish: with z^2-scaled depth noise at 2.5-4 m, the
+    whitened GN recovers a noticeably better transform than the
+    scalar-weighted fit alone."""
+    rng = np.random.default_rng(11)
+    n = 512
+    p1, p2, T = make_scene(rng, n=n, noise=0.0, rotvec=(0.03, -0.05, 0.02),
+                           t=(0.1, -0.05, 0.08))
+    # push points deep and apply anisotropic (z-dominant) sensor noise
+    p1[:, 2] += 1.5
+    p2 = p1 @ T[:3, :3].T + T[:3, 3]
+    for p in (p1, p2):
+        p[:, 2] += rng.normal(size=n) * 0.01 * p[:, 2] ** 2
+        p[:, :2] += rng.normal(size=(n, 2)) * 0.002
+    w = (1.0 / (np.maximum(p1[:, 2], 0.1) * np.maximum(p2[:, 2], 0.1))).astype(np.float32)
+    valid = jnp.ones(n, dtype=bool)
+
+    def run(cfg):
+        res = ransac_se3(jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(w),
+                         valid, jax.random.PRNGKey(4), cfg)
+        dT = np.linalg.inv(np.asarray(res.T21)) @ T
+        return float(se3.translation_norm(jnp.asarray(dT)))
+
+    errs_plain, errs_aniso = [], []
+    for seed in range(3):
+        cfg_p = RansacConfig()
+        cfg_a = RansacConfig(mahalanobis_refine=True)
+        errs_plain.append(run(cfg_p))
+        errs_aniso.append(run(cfg_a))
+    assert np.mean(errs_aniso) < np.mean(errs_plain), (errs_aniso, errs_plain)

@@ -84,3 +84,32 @@ def test_depth_dropout_only():
             tracker.track(ts, g, d)
     assert tracker.state is TrackerState.OK
     assert len(tracker.trajectory) == 16
+
+
+def test_tracking_under_sensor_noise():
+    """Kinect-class noise (shot noise, z^2 depth noise, 3% dropouts): the
+    pipeline's noise model (Mahalanobis gating, depth-validity masks) should
+    keep ATE within a few cm."""
+    ds = SyntheticDataset(n_frames=30, cam=CAM, trajectory="sweep", noise=True)
+    tracker = Tracker(CAM, CFG, seed=0)
+    for i in range(len(ds)):
+        ts, g, d = ds.grab(i)
+        tracker.track(ts, g, d)
+    ts_e, poses = tracker.camera_trajectory()
+    rmse, info = ate_rmse(ts_e, poses, ds.timestamps, ds.poses_twc)
+    assert tracker.stats.failures <= 2
+    assert rmse < 0.08, f"noisy ATE {rmse}"
+
+
+def test_noise_is_deterministic():
+    ds1 = SyntheticDataset(n_frames=2, cam=CAM, noise=True, seed=3)
+    ds2 = SyntheticDataset(n_frames=2, cam=CAM, noise=True, seed=3)
+    _, g1, d1 = ds1.grab(1)
+    _, g2, d2 = ds2.grab(1)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    # noise actually applied
+    ds3 = SyntheticDataset(n_frames=2, cam=CAM, noise=False)
+    _, g3, d3 = ds3.grab(1)
+    assert not np.array_equal(np.asarray(g1), np.asarray(g3))
+    assert (np.asarray(d1) == 0).mean() > 0.01  # dropouts present
