@@ -94,11 +94,17 @@ bool decode_png(const char* path, int want_w, int want_h, bool as_depth,
         std::fclose(fp);
         return false;
     }
+    // Reject Adam7-interlaced images: the single-pass row loop below would
+    // silently decode progressive-pass garbage (dataset PNGs — TUM/ICL/CORBS
+    // — are never interlaced; an honest failure beats corrupt frames).
+    if (png_get_interlace_type(png, info) != PNG_INTERLACE_NONE) {
+        png_destroy_read_struct(&png, &info, nullptr);
+        std::fclose(fp);
+        return false;
+    }
 
     if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
     if (depth_bits < 8) png_set_expand_gray_1_2_4_to_8(png);
-    // keep 16-bit as-is for depth; expand interlace
-    if (png_set_interlace_handling(png) > 1) { /* handled by libpng */ }
     png_read_update_info(png, info);
 
     const size_t rowbytes = png_get_rowbytes(png, info);

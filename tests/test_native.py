@@ -71,3 +71,29 @@ def test_wrong_size_fails(png_pair):
     rgb_path, _, _, _ = png_pair
     with pytest.raises(IOError):
         fp.decode_png_gray(rgb_path, 32, 32)
+
+
+def test_interlaced_png_rejected(tmp_path):
+    """Adam7-interlaced PNGs are rejected at the header check (single-pass
+    decode would silently produce garbage). PIL can't write interlaced PNGs,
+    so flip the IHDR interlace flag by hand (re-CRC'd) — the rejection fires
+    before any row is read."""
+    import struct
+    import zlib
+
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, size=(48, 64), dtype=np.uint8)
+    p0 = tmp_path / "plain.png"
+    Image.fromarray(img, mode="L").save(str(p0))
+    data = bytearray(p0.read_bytes())
+    # IHDR: bytes 8..: len(4) 'IHDR'(4) data(13) crc(4); interlace = data[12]
+    assert data[12:16] == b"IHDR"
+    data[16 + 12] = 1
+    crc = zlib.crc32(bytes(data[12 : 16 + 13])) & 0xFFFFFFFF
+    data[16 + 13 : 16 + 17] = struct.pack(">I", crc)
+    p = tmp_path / "interlaced.png"
+    p.write_bytes(bytes(data))
+    with pytest.raises(IOError):
+        fp.decode_png_gray(str(p), 64, 48)
