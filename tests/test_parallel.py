@@ -104,3 +104,29 @@ def test_graft_entry_compiles():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     assert out[0].shape == (4, 4)
+
+
+def test_pipelined_odometry_matches_tracker():
+    """The scan-pipelined odometry produces a trajectory consistent with the
+    per-frame Tracker on the same frames (no backend, same estimator)."""
+    import numpy as np
+
+    from rgbdslam_tpu.config import ExtractorConfig, SlamConfig
+    from rgbdslam_tpu.eval.ate import ate_rmse
+    from rgbdslam_tpu.geometry.camera import Camera
+    from rgbdslam_tpu.io.synthetic import SyntheticDataset
+    from rgbdslam_tpu.slam.pipeline import PipelinedOdometry
+
+    cam = Camera(200.0, 200.0, 159.5, 119.5, width=320, height=240)
+    cfg = SlamConfig(
+        extractor=ExtractorConfig(num_features=512, num_levels=3, cell_size=8,
+                                  fast_threshold=15.0)
+    )
+    # 30 frames keeps inter-frame motion moderate (the pipeline has no
+    # second-reference retry)
+    ds = SyntheticDataset(n_frames=30, cam=cam, trajectory="sweep")
+    pipe = PipelinedOdometry(cam, cfg, batch=8)
+    ts, poses, stats = pipe.run(ds.grab(i) for i in range(len(ds)))
+    assert stats["frames"] == 30
+    rmse, info = ate_rmse(ts, poses, ds.timestamps, ds.poses_twc)
+    assert rmse < 0.06, f"pipelined ATE {rmse}"

@@ -132,3 +132,44 @@ def test_optimize_requires_min_vertices():
         g.add_vertex(np.eye(4, dtype=np.float32))
     out = g.optimize()
     assert out.shape == (4, 4, 4)  # unchanged passthrough
+
+
+def test_cg_matches_dense_solver():
+    """Matrix-free PCG Gauss-Newton converges to the same optimum as the
+    dense Cholesky solver."""
+    from rgbdslam_tpu.solvers.cg import optimize_pose_graph_cg
+    from rgbdslam_tpu.solvers.pose_graph import PoseGraphEdges, optimize_pose_graph
+
+    rng = np.random.default_rng(11)
+    n = 16
+    gt = [np.eye(4, dtype=np.float32)]
+    for i in range(1, n):
+        d = np.eye(4, dtype=np.float32)
+        d[:3, :3] = ScipyRot.from_rotvec(rng.normal(scale=0.1, size=3)).as_matrix()
+        d[:3, 3] = rng.normal(scale=0.3, size=3)
+        gt.append((gt[-1] @ d).astype(np.float32))
+    est = [gt[0]]
+    for i in range(1, n):
+        noise = np.asarray(se3.exp(jnp.asarray(
+            rng.normal(scale=0.05, size=6).astype(np.float32))))
+        est.append((noise @ gt[i]).astype(np.float32))
+    a, b, Z = [], [], []
+    for i in range(1, n):
+        a.append(i), b.append(i - 1), Z.append(np.linalg.inv(gt[i]) @ gt[i - 1])
+        if i >= 2:
+            a.append(i), b.append(i - 2), Z.append(np.linalg.inv(gt[i]) @ gt[i - 2])
+    edges = PoseGraphEdges(
+        a=jnp.asarray(np.asarray(a, np.int32)),
+        b=jnp.asarray(np.asarray(b, np.int32)),
+        Z=jnp.asarray(np.stack(Z).astype(np.float32)),
+        weight=jnp.full((len(a),), 100.0, jnp.float32),
+    )
+    fixed = jnp.zeros((n,), bool).at[0].set(True)
+    est_j = jnp.asarray(np.stack(est))
+
+    T_dense, _ = optimize_pose_graph(est_j, edges, fixed, 12, 1.0)
+    T_cg, _ = optimize_pose_graph_cg(est_j, edges, fixed, 12, 60, 1.0)
+    for i in range(n):
+        d = np.linalg.inv(np.asarray(T_cg)[i]) @ np.asarray(T_dense)[i]
+        assert float(se3.translation_norm(jnp.asarray(d))) < 2e-3, i
+        assert float(se3.rotation_angle(jnp.asarray(d))) < 2e-3, i
