@@ -45,6 +45,7 @@ def main():
     from rgbdslam_tpu.frontend.matcher import gather_matched_points, match_frames
     from rgbdslam_tpu.geometry.camera import SYNTHETIC
     from rgbdslam_tpu.io.synthetic import SyntheticDataset, render_frame
+    from rgbdslam_tpu.solvers.icp import gicp_refine
     from rgbdslam_tpu.solvers.ransac_se3 import ransac_se3
 
     dev = jax.devices()[0]
@@ -110,7 +111,12 @@ def main():
             m = match_frames(f_prev, f_cur, cfg.matcher.nn_ratio)
             p1, p2, w, valid = gather_matched_points(f_prev, f_cur, m)
             res = ransac_se3(p1, p2, w, valid, sub, cfg.ransac)
-            return (f_cur, k), (res.T21, res.num_inliers)
+            # GICP polish as in the live tracker (rmse-triggered select)
+            T_g, conv, _ = gicp_refine(p1, p2, res.inliers, res.T21,
+                                       None, cfg.icp)
+            use = (res.rmse >= cfg.icp.rmse_trigger) & conv & res.success
+            T21 = jnp.where(use, T_g, res.T21)
+            return (f_cur, k), (T21, res.num_inliers)
 
         (f_fin, _), outs = jax.lax.scan(body, (f_ref, key), (grays, depths))
         return f_fin, outs

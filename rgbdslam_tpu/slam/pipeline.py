@@ -25,6 +25,7 @@ from rgbdslam_tpu.config import SlamConfig
 from rgbdslam_tpu.frontend.frame import build_frame_features
 from rgbdslam_tpu.frontend.matcher import gather_matched_points, match_frames
 from rgbdslam_tpu.geometry.camera import Camera
+from rgbdslam_tpu.solvers.icp import gicp_refine
 from rgbdslam_tpu.solvers.ransac_se3 import ransac_se3
 
 
@@ -36,6 +37,7 @@ class PipelinedOdometry:
         self.batch = batch
         self._key = jax.random.PRNGKey(seed)
         ex_cfg, m_cfg, r_cfg = cfg.extractor, cfg.matcher, cfg.ransac
+        icp_cfg, use_icp = cfg.icp, cfg.use_icp_refinement
 
         def multi_step(f_ref, grays, depths, key):
             def body(carry, inp):
@@ -46,7 +48,15 @@ class PipelinedOdometry:
                 m = match_frames(f_prev, f_cur, m_cfg.nn_ratio)
                 p1, p2, w, valid = gather_matched_points(f_prev, f_cur, m)
                 res = ransac_se3(p1, p2, w, valid, sub, r_cfg)
-                return (f_cur, k), (res.T21, res.num_inliers, res.success)
+                T21 = res.T21
+                if use_icp:
+                    # GICP polish, as in the tracker (rmse-triggered; the
+                    # branch is a select under scan)
+                    T_g, conv, _ = gicp_refine(p1, p2, res.inliers, T21,
+                                               None, icp_cfg)
+                    use = (res.rmse >= icp_cfg.rmse_trigger) & conv & res.success
+                    T21 = jnp.where(use, T_g, T21)
+                return (f_cur, k), (T21, res.num_inliers, res.success)
 
             (f_fin, _), outs = jax.lax.scan(body, (f_ref, key), (grays, depths))
             return f_fin, outs

@@ -43,8 +43,9 @@ def knn_covariances(
     d2 = jnp.sum((pts[:, None, :] - pts[None, :, :]) ** 2, axis=-1)
     d2 = jnp.where(valid[None, :] & valid[:, None], d2, jnp.inf)
     d2 = jnp.fill_diagonal(d2, jnp.inf, inplace=False)
-    # k nearest neighbors per point
-    neg, idx = jax.lax.top_k(-d2, k)  # (N, k)
+    # k nearest neighbors per point; approx_max_k uses the TPU-optimized
+    # partial-reduction path (exact top_k sorts the whole row)
+    neg, idx = jax.lax.approx_max_k(-d2, k)  # (N, k)
     nbr = pts[idx]                     # (N, k, 3)
     w = jnp.isfinite(-neg).astype(pts.dtype)  # (N, k) valid-neighbor mask
     wsum = jnp.maximum(w.sum(-1, keepdims=True), 1.0)
