@@ -57,6 +57,54 @@ def knn_covariances(
     return C + (epsilon * jnp.maximum(tr, 1e-4) / 3.0)[..., None, None] * eye
 
 
+def depth_patch_covariances(
+    cam, depth: jnp.ndarray, uv: jnp.ndarray, radius: int = 2,
+    epsilon: float = 1e-3,
+) -> jnp.ndarray:
+    """Per-keypoint surface covariance from the depth-image neighborhood.
+
+    The kNN covariances above approximate local structure from the *sparse*
+    matched set; the depth image gives the true surface directly
+    (SURVEY.md §7 design stance: "depth-image neighborhoods for
+    normals/covariances, avoiding kd-trees"): backproject the
+    (2r+1)^2 patch around each keypoint and take its covariance, with the
+    same soft eigenvalue floor as knn_covariances. Invalid-depth pixels in
+    the patch are masked.
+
+    cam: static Camera; depth: (H, W) meters; uv: (N, 2). Returns (N, 3, 3).
+    """
+    from rgbdslam_tpu.geometry.camera import Camera  # noqa: F401  (typing)
+
+    d = 2 * radius + 1
+    h, w = depth.shape
+    padded = jnp.pad(depth, radius, mode="edge")
+    u = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, w - 1)
+    v = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0, h - 1)
+
+    def patch(vu):
+        return jax.lax.dynamic_slice(padded, (vu[0], vu[1]), (d, d))
+
+    z = jax.vmap(patch)(jnp.stack([v, u], axis=-1))        # (N, d, d)
+    dy, dx = jnp.meshgrid(
+        jnp.arange(-radius, radius + 1, dtype=jnp.float32),
+        jnp.arange(-radius, radius + 1, dtype=jnp.float32),
+        indexing="ij",
+    )
+    uu = u[:, None, None].astype(jnp.float32) + dx
+    vv = v[:, None, None].astype(jnp.float32) + dy
+    x = (uu - cam.cx) / cam.fx * z
+    y = (vv - cam.cy) / cam.fy * z
+    pts = jnp.stack([x, y, z], axis=-1).reshape(-1, d * d, 3)  # (N, P, 3)
+    ok = (z > 0).reshape(-1, d * d).astype(jnp.float32)
+    wsum = jnp.maximum(ok.sum(-1, keepdims=True), 1.0)
+    mean = jnp.sum(pts * ok[..., None], axis=1) / wsum
+    cent = (pts - mean[:, None, :]) * ok[..., None]
+    C = jnp.einsum("nki,nkj->nij", cent, cent) / wsum[..., None]
+    tr = jnp.trace(C, axis1=-2, axis2=-1)
+    eye = jnp.eye(3, dtype=depth.dtype)
+    return C + (epsilon * jnp.maximum(tr, 1e-4) / 3.0)[..., None, None] * eye
+
+
 def _gn_step(T, p1, p2, W, valid, max_dist):
     """One Gauss-Newton step for min sum r^T W r, r = R p1 + t - p2.
 
@@ -93,15 +141,24 @@ def gicp_refine(
     T_init: jnp.ndarray,
     key_unused: jnp.ndarray | None = None,
     cfg: IcpConfig = IcpConfig(),
+    C1: jnp.ndarray | None = None,
+    C2: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Plane-to-plane refinement of T21 over matched camera-frame points.
 
     Returns (T21, converged: bool, matched_count: int32). Matches reference
     gating: requires >= cfg.min_matches valid pairs (Solver/Gicp.cpp:23);
     falls back to T_init when under-constrained.
+
+    C1/C2: optional precomputed per-point covariances (N, 3, 3) — e.g. the
+    depth-image surface covariances from depth_patch_covariances, which are
+    both cheaper and geometrically faithful; defaults to sparse-set kNN
+    covariances (the PCL GICP behavior).
     """
-    C1 = knn_covariances(p1, valid, epsilon=cfg.gicp_epsilon)
-    C2 = knn_covariances(p2, valid, epsilon=cfg.gicp_epsilon)
+    if C1 is None:
+        C1 = knn_covariances(p1, valid, epsilon=cfg.gicp_epsilon)
+    if C2 is None:
+        C2 = knn_covariances(p2, valid, epsilon=cfg.gicp_epsilon)
 
     def body(i, carry):
         T, _ = carry

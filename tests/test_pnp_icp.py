@@ -176,3 +176,45 @@ def test_point_to_plane_icp():
     )
     tn, rn = pose_err(np.asarray(T_est), T)
     assert tn < 5e-3 and rn < 5e-3, (tn, rn)
+
+
+def test_depth_patch_covariances_planar_wall():
+    """Covariances from a flat depth wall are pancake-shaped: tiny thickness
+    normal to the surface, larger in-plane spread."""
+    from rgbdslam_tpu.solvers.icp import depth_patch_covariances
+
+    cam = Camera(100.0, 100.0, 63.5, 47.5, width=128, height=96)
+    depth = jnp.full((96, 128), 2.0)
+    uv = jnp.asarray(np.array([[30.0, 30.0], [64.0, 48.0], [100.0, 70.0]],
+                              np.float32))
+    C = np.asarray(depth_patch_covariances(cam, depth, uv, radius=2,
+                                           epsilon=1e-4))
+    assert C.shape == (3, 3, 3)
+    evals = np.linalg.eigvalsh(C)
+    # smallest eigenvalue (surface normal direction, ~z here) far below the
+    # in-plane ones
+    assert (evals[:, 0] < 0.2 * evals[:, 2]).all()
+    # in-plane spread ~ (radius*z/f)^2 scale
+    assert (evals[:, 2] > 1e-4).all()
+
+
+def test_gicp_accepts_precomputed_covariances():
+    from rgbdslam_tpu.solvers.icp import depth_patch_covariances
+
+    rng = np.random.default_rng(7)
+    p1 = make_surface(rng)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, 3] = [0.02, -0.01, 0.03]
+    p2 = (p1 @ T[:3, :3].T + T[:3, 3]).astype(np.float32)
+    from rgbdslam_tpu.solvers.icp import knn_covariances
+
+    C1 = knn_covariances(jnp.asarray(p1), jnp.ones(len(p1), bool))
+    C2 = knn_covariances(jnp.asarray(p2), jnp.ones(len(p2), bool))
+    cfg = IcpConfig(max_iterations=8, max_correspondence_dist=0.2)
+    T_ref, conv, _ = gicp_refine(
+        jnp.asarray(p1), jnp.asarray(p2), jnp.ones(len(p1), bool),
+        jnp.eye(4), None, cfg, C1, C2,
+    )
+    assert bool(conv)
+    tn, rn = pose_err(np.asarray(T_ref), T)
+    assert tn < 5e-3
