@@ -74,3 +74,19 @@ def test_keyframe_trajectory_consistent(orbit_run):
     ts, poses = system.keyframe_trajectory()
     rmse, _ = ate_rmse(ts, poses, ds.timestamps, ds.poses_twc)
     assert rmse < 0.06, f"KF ATE {rmse:.4f} m"
+
+
+def test_system_with_sensor_noise():
+    """Full SLAM under Kinect-class noise: loop machinery still works and
+    ATE stays bounded."""
+    ds = SyntheticDataset(n_frames=100, cam=CAM, trajectory="orbit",
+                          loops=1.15, noise=True)
+    system = SlamSystem(CAM, CFG, seed=0)
+    for i in range(len(ds)):
+        ts, gray, depth = ds.grab(i)
+        system.track(ts, gray, depth)
+    system.finish()
+    ts_e, poses = system.camera_trajectory()
+    rmse, info = ate_rmse(ts_e, poses, ds.timestamps, ds.poses_twc)
+    assert system.tracker.stats.failures <= 3
+    assert rmse < 0.12, f"noisy full-SLAM ATE {rmse}"
