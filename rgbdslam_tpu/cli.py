@@ -43,6 +43,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="dense projective point-to-plane refinement per frame")
     p.add_argument("--local-ba", action="store_true",
                    help="sliding-window landmark bundle adjustment")
+    p.add_argument("--global-ba", action="store_true",
+                   help="full-map landmark BA after loop closures + at "
+                        "shutdown")
     p.add_argument("--detector", default="svo_fast",
                    choices=["svo_fast", "orb", "gftt"])
     p.add_argument("--adaptive", action="store_true",
@@ -114,6 +117,7 @@ def main(argv=None) -> int:
         loop=LoopConfig(id_interval=args.loop_interval),
         use_dense_icp=args.dense_icp,
         use_local_ba=args.local_ba,
+        use_global_ba=args.global_ba,
         detector=args.detector,
         adaptive=args.adaptive,
     )

@@ -29,6 +29,13 @@ class ExtractorConfig:
     min_border: int = 16              # keep keypoints at least this far from the image edge
     brief_patch_size: int = 31        # BRIEF/ORB sampling patch (Features/ORBextractor.cpp pattern)
     orientation_radius: int = 15      # intensity-centroid radius (Features/ORBextractor.cpp:16-41)
+    # subpixel quadratic refinement of corner positions (beyond the
+    # reference). Off by default: on this detector the Shi-Tomasi peak
+    # offset is viewpoint-dependent, which trades unbiased +-0.5 px
+    # quantization noise (averaged out by 500-match RANSAC) for a small
+    # correlated drift — a net loss for clean VO, a win only when depth
+    # noise dominates.
+    subpixel: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -191,6 +198,19 @@ class SlamConfig:
     ba_iterations: int = 4
     max_landmarks: int = 16384
     max_obs_per_landmark: int = 8
+    # global landmark-Schur BA over the whole map after each loop closure
+    # and at shutdown (polishes the pose-graph solution; subsumes the pose
+    # graph on small maps) — also beyond the reference
+    use_global_ba: bool = False
+    global_ba_iterations: int = 6
+    # edge-factor information scale for joint global BA: the pose-graph
+    # info (100*I, Solver/PoseGraph.cpp:205) understates a 500-point RANSAC
+    # registration's accuracy (~mm); x1000 => sigma ~ 3 mm, which keeps the
+    # drifting landmark tracks from overriding the pairwise constraints
+    ba_edge_scale: float = 1000.0
+    # landmark-track extension reprojection gate (px): associations worse
+    # than this poison the BA observation table
+    track_gate_px: float = 3.0
 
 
 DEFAULT_CONFIG = SlamConfig()

@@ -43,6 +43,11 @@ class FrameFeatures:
     has_depth: jnp.ndarray   # (N,) bool valid metric depth at the keypoint
     intensity: jnp.ndarray   # (N,) f32 gray value (landmark "color",
                              #   Core/Frame.cpp:91-117 stores per-keypoint color)
+    smooth: jnp.ndarray      # (N,) bool depth locally smooth (not an
+                             #   occlusion boundary) — gate for landmark
+                             #   tracks: depth at an edge corner flips
+                             #   between fore/background across views and
+                             #   poisons bundle adjustment
 
     @property
     def num_slots(self) -> int:
@@ -81,6 +86,7 @@ def build_frame_features(
         min_response=cfg.min_response,
         min_border=cfg.min_border,
         use_fast_gate=use_fast_gate,
+        subpixel=cfg.subpixel,
     )
 
     blurred = image_ops.gaussian_blur(gray, sigma=2.0, radius=3)
@@ -97,8 +103,24 @@ def build_frame_features(
     # Depth lookup at the detected (distorted) coords, like the reference
     # (Core/Frame.cpp:91-117 reads mImDepth at mvKeys); unprojection uses the
     # undistorted coords (Core/Frame.cpp:251-281 + uprojectCamera).
-    z = image_ops.nearest_sample(depth, kp.uv)
-    has_depth = cam_mod.valid_depth(cam, z) & kp.valid
+    z_n = image_ops.nearest_sample(depth, kp.uv)
+    has_depth = cam_mod.valid_depth(cam, z_n) & kp.valid
+    # depth-edge test: 3x3 min/max range around the keypoint
+    zmin = jax.lax.reduce_window(depth, jnp.inf, jax.lax.min, (3, 3), (1, 1),
+                                 "SAME")
+    zmax = jax.lax.reduce_window(depth, -jnp.inf, jax.lax.max, (3, 3), (1, 1),
+                                 "SAME")
+    zrange = image_ops.nearest_sample(zmax, kp.uv) - image_ops.nearest_sample(
+        zmin, kp.uv)
+    smooth = has_depth & (zrange <= 0.03 + 0.02 * z_n)
+    # depth denoising on smooth surfaces: 3x3 valid-pixel mean (Kinect-class
+    # per-pixel depth noise averages down ~3x; edges keep the center pixel —
+    # averaging would mix fore/background there)
+    valid_px = (depth > 0).astype(depth.dtype)
+    zsum = image_ops.box_filter_sum(depth, 1)
+    zcnt = image_ops.box_filter_sum(valid_px, 1)
+    zmean = zsum / jnp.maximum(zcnt, 1.0)
+    z = jnp.where(smooth, image_ops.nearest_sample(zmean, kp.uv), z_n)
     uv_undist = cam_mod.undistort_pixels(cam, kp.uv)
     z_safe = jnp.where(has_depth, z, 0.0)
     xyz = cam_mod.unproject(cam, uv_undist, z_safe)
@@ -114,4 +136,5 @@ def build_frame_features(
         valid=kp.valid,
         has_depth=has_depth,
         intensity=intensity,
+        smooth=smooth,
     )

@@ -26,6 +26,7 @@ class KeyframeStore:
         self.obs_valid = np.zeros((K, N), dtype=bool)
         self.uv = np.zeros((K, N, 2), dtype=np.float32)
         self.intensity = np.zeros((K, N), dtype=np.float32)
+        self.smooth = np.zeros((K, N), dtype=bool)   # depth-edge-free obs
         self.poses_cw = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
         self.timestamps = np.zeros((K,), dtype=np.float64)
         self.count = 0
@@ -43,14 +44,15 @@ class KeyframeStore:
         # array np.asarray would pay the tunnel round trip 5x)
         import jax
 
-        desc, xyz, obs_valid, uv, intensity = jax.device_get(
-            (f.desc, f.xyz, f.obs_valid, f.uv_undist, f.intensity)
+        desc, xyz, obs_valid, uv, intensity, smooth = jax.device_get(
+            (f.desc, f.xyz, f.obs_valid, f.uv_undist, f.intensity, f.smooth)
         )
         self.desc[k] = desc
         self.xyz[k] = xyz
         self.obs_valid[k] = obs_valid
         self.uv[k] = uv
         self.intensity[k] = intensity
+        self.smooth[k] = smooth
         self.poses_cw[k] = np.asarray(Tcw, dtype=np.float32)
         self.timestamps[k] = timestamp
         self.count += 1

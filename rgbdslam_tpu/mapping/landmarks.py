@@ -133,12 +133,16 @@ class LandmarkStore:
 
     # ------------------------------------------------------------------
     def window_problem(self, kf_lo: int, kf_hi: int, poses_cw: np.ndarray,
-                       min_obs: int = 2):
+                       min_obs: int = 2, pad_k: Optional[int] = None):
         """Build a BAProblem over keyframes [kf_lo, kf_hi] (inclusive).
 
         Only landmarks with >= min_obs observations inside the window enter;
         keyframe indices are re-based to the window. Returns
         (problem, lm_ids, kf_ids) with fixed budgets (padded).
+
+        `pad_k` pads the keyframe dimension to a fixed size with identity
+        poses and no observations (global BA over a growing map reuses one
+        compiled program per power-of-two bucket).
         """
         import jax.numpy as jnp
 
@@ -174,8 +178,14 @@ class LandmarkStore:
             Xw[:nl] = self.Xw[lm_ids]
             lm_valid[:nl] = True
 
+        Tcw = poses_cw[kf_lo : kf_hi + 1]
+        if pad_k is not None and pad_k > K:
+            Tcw = np.concatenate(
+                [Tcw, np.broadcast_to(np.eye(4, dtype=np.float32),
+                                      (pad_k - K, 4, 4))]
+            )
         problem = BAProblem(
-            Tcw=jnp.asarray(poses_cw[kf_lo : kf_hi + 1]),
+            Tcw=jnp.asarray(Tcw),
             Xw=jnp.asarray(Xw),
             lm_valid=jnp.asarray(lm_valid),
             obs_kf=jnp.asarray(obs_kf),
@@ -188,6 +198,32 @@ class LandmarkStore:
     def update_from_solution(self, lm_ids: np.ndarray, Xw_opt: np.ndarray):
         if len(lm_ids):
             self.Xw[lm_ids] = np.asarray(Xw_opt)[: len(lm_ids)]
+
+    # ------------------------------------------------------------------
+    def reanchor(self, old_poses_cw: np.ndarray, new_poses_cw: np.ndarray):
+        """Re-anchor landmark positions through their first observing
+        keyframe's pose correction (Frame::correctPose semantics,
+        Core/Frame.cpp:437-454: after graph optimization every KF moves its
+        landmarks with it).
+
+        Without this, pose-graph corrections leave the landmark cloud
+        expressed in the *old* keyframe frames; a subsequent bundle
+        adjustment would pull the corrected poses back toward the stale
+        cloud.
+        """
+        n = self.count
+        if n == 0:
+            return
+        anchor = self.obs_kf[:n, 0]
+        K = min(len(old_poses_cw), len(new_poses_cw))
+        ok = self.valid[:n] & (anchor >= 0) & (anchor < K)
+        a = anchor[ok]
+        # X' = Twc_new @ Tcw_old @ X, batched over landmarks
+        corr = np.linalg.inv(new_poses_cw[a]) @ old_poses_cw[a]  # (n_ok,4,4)
+        X = self.Xw[:n][ok]
+        self.Xw[:n][ok] = (
+            np.einsum("nij,nj->ni", corr[:, :3, :3], X) + corr[:, :3, 3]
+        ).astype(np.float32)
 
     # ------------------------------------------------------------------
     def world_points(self) -> Tuple[np.ndarray, np.ndarray]:

@@ -172,18 +172,36 @@ def _rotated_selectors(patch_size: int = 31, n_bins: int = 16, seed: int = 7):
 
 def extract_patches(img: jnp.ndarray, uv: jnp.ndarray,
                     patch_size: int = 31) -> jnp.ndarray:
-    """(N, patch^2) flattened patches at integer keypoint coords."""
+    """(N, patch^2) flattened patches at integer keypoint coords.
+
+    TPU-shaped two-stage extraction: a per-element gather of N x P^2 scattered
+    pixels runs at ~1 element/cycle on the gather unit (~1 ms/frame at
+    1024 x 961); instead we
+      1. slice a full-width (P, W) horizontal band per keypoint — one gather
+         of lane-contiguous rows (memcpy-class), then
+      2. select the P columns of each band with a per-keypoint one-hot
+         (W+P-1, P) matrix in a single batched MXU matmul (exact: one-hot
+         f32 matmul is a copy).
+    """
     half = patch_size // 2
     h, w = img.shape
-    padded = jnp.pad(img, half, mode="edge")
+    padded = jnp.pad(img, half, mode="edge")  # (h + P - 1, w + P - 1)
+    wp = w + patch_size - 1
     u = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, w - 1)
     v = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0, h - 1)
 
-    def patch(vu):
-        return jax.lax.dynamic_slice(padded, (vu[0], vu[1]),
-                                     (patch_size, patch_size))
+    # 1. full-width horizontal bands (N, P, WP): lane-contiguous slices
+    bands = jax.vmap(
+        lambda vi: jax.lax.dynamic_slice(padded, (vi, 0), (patch_size, wp))
+    )(v)
 
-    patches = jax.vmap(patch)(jnp.stack([v, u], axis=-1))
+    # 2. one-hot column selection on the MXU: cols[n, :, j] = u[n] + j
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, wp, patch_size), 1)
+    sel = (cols == (u[:, None, None] +
+                    jax.lax.broadcasted_iota(jnp.int32, (1, wp, patch_size), 2))
+           ).astype(img.dtype)                       # (N, WP, P)
+    patches = jnp.einsum("nrw,nwj->nrj", bands, sel,
+                         preferred_element_type=jnp.float32)
     return patches.reshape(patches.shape[0], -1)
 
 

@@ -196,13 +196,27 @@ class SlamSystem:
             match_valid = np.asarray(m.valid)
             # geometric gate on track extension: the relative KF pose is
             # known, so a correct association must map the old 3-D point
-            # onto the new one (rejects descriptor aliasing)
+            # onto the new one (rejects descriptor aliasing). The metric
+            # gate alone admits BA-poisoning associations (0.10 m at z=2 m
+            # is a 10 px reprojection error for fx=200), so a pixel gate
+            # on the predicted reprojection is applied as well.
             T21 = Tcw @ np.linalg.inv(self.store.poses_cw[k - 1])
             pred = xp @ T21[:3, :3].T + T21[:3, 3]
             err = np.linalg.norm(pred - self.store.xyz[k][match_idx], axis=-1)
-            match_valid = match_valid & (err < 0.10)
+            z_pred = np.maximum(pred[:, 2], 1e-6)
+            u_pred = self.cam.fx * pred[:, 0] / z_pred + self.cam.cx
+            v_pred = self.cam.fy * pred[:, 1] / z_pred + self.cam.cy
+            uv_cur = self.store.uv[k][match_idx]
+            err_px = np.hypot(u_pred - uv_cur[:, 0], v_pred - uv_cur[:, 1])
+            match_valid = (match_valid & (err < 0.10)
+                           & (err_px < self.cfg.track_gate_px)
+                           & (pred[:, 2] > 0.05))
+        # landmark tracks only accept depth-edge-free observations (depth at
+        # occlusion-boundary corners flips between fore/background across
+        # views, biasing BA)
         self.landmarks.add_keyframe(
-            k, self.store.uv[k], self.store.xyz[k], self.store.obs_valid[k],
+            k, self.store.uv[k], self.store.xyz[k],
+            self.store.obs_valid[k] & self.store.smooth[k],
             self.store.desc[k], self.store.intensity[k], Tcw,
             match_idx, match_valid, k - 1 if k > 0 else None,
         )
@@ -218,6 +232,10 @@ class SlamSystem:
         # analog; BASELINE config 3)
         if self.cfg.use_local_ba and not loop_found:
             self._local_ba(k)
+
+        # global BA polishes the pose-graph solution after a loop closure
+        if self.cfg.use_global_ba and loop_found:
+            self._global_ba(k)
 
     def _detect_and_close_loop(self, k: int) -> bool:
         th = max(
@@ -269,12 +287,77 @@ class SlamSystem:
                                       relocalize=True)
 
     # ------------------------------------------------------------------
+    def _global_ba(self, k: int):
+        """Full-map landmark-Schur bundle adjustment (beyond the reference:
+        its backend is pose-graph-only, Solver/PoseGraph.cpp:350-368).
+
+        Optimizes every keyframe pose and landmark jointly; the keyframe
+        dimension is padded to a power-of-two bucket so the compiled program
+        is reused as the map grows. KF 0 stays fixed as the gauge, matching
+        the pose graph's vertex-0 anchor."""
+        import jax.numpy as jnp
+
+        from rgbdslam_tpu.solvers.ba import local_ba
+
+        K = k + 1
+        if K < 3:
+            return
+        pad_k = 4
+        while pad_k < K:
+            pad_k *= 2
+        problem, lm_ids, kf_ids = self.landmarks.window_problem(
+            0, k, self.store.poses_cw, pad_k=pad_k
+        )
+        if len(lm_ids) < 8:
+            return
+        fixed = np.zeros((pad_k,), bool)
+        fixed[0] = True
+        fixed[K:] = True   # padding keyframes must not move
+
+        # joint optimization: the RANSAC-verified graph edges carry the
+        # pairwise registration information (more accurate than drifting
+        # landmark tracks); landmark terms add cross-view structure
+        from rgbdslam_tpu.solvers.ba import BAEdges
+
+        E = self.graph.n_edges
+        Ep = 8
+        while Ep < max(E, 1):
+            Ep *= 2
+        ea = np.zeros((Ep,), np.int32)
+        eb = np.zeros((Ep,), np.int32)
+        eZ = np.tile(np.eye(4, dtype=np.float32), (Ep, 1, 1))
+        ew = np.zeros((Ep,), np.float32)
+        ea[:E] = self.graph.e_a[:E]
+        eb[:E] = self.graph.e_b[:E]
+        eZ[:E] = self.graph.e_Z[:E]
+        ew[:E] = self.graph.e_w[:E] * self.cfg.ba_edge_scale
+        edges = BAEdges(a=jnp.asarray(ea), b=jnp.asarray(eb),
+                        Z=jnp.asarray(eZ), w=jnp.asarray(ew))
+
+        Tcw_opt, Xw_opt, _cost = local_ba(
+            self.cam, problem, jnp.asarray(fixed),
+            self.cfg.global_ba_iterations,
+            edges=edges, edge_huber=self.graph.huber_delta,
+        )
+        Tcw_opt = np.asarray(Tcw_opt)[:K]
+        self.landmarks.update_from_solution(lm_ids, np.asarray(Xw_opt))
+        self.store.poses_cw[:K] = Tcw_opt
+        for kf in kf_ids:
+            self.graph.Twc[kf] = np.linalg.inv(Tcw_opt[kf]).astype(np.float32)
+        self.tracker.apply_correction(self.store.poses_cw[:K],
+                                      relocalize=True)
+
+    # ------------------------------------------------------------------
     def _optimize(self, iterations: int):
         """Global pose-graph optimization + pose write-back
         (PoseGraph::optimize + Frame::correctPose + Tracking::correct)."""
         Twc_opt = self.graph.optimize(iterations)
         K = len(Twc_opt)
+        old_poses_cw = self.store.poses_cw[:K].copy()
         Tcw_opt = np.stack([np.linalg.inv(T).astype(np.float32) for T in Twc_opt])
+        # move the landmark cloud with its keyframes (Frame::correctPose
+        # re-anchors landmarks after optimization, Core/Frame.cpp:437-454)
+        self.landmarks.reanchor(old_poses_cw, Tcw_opt)
         self.store.set_poses(Tcw_opt)
         self.tracker.apply_correction(Tcw_opt)
 
@@ -284,6 +367,8 @@ class SlamSystem:
         Solver/PoseGraph.cpp:407-418)."""
         if self.graph.n_vertices > 5:
             self._optimize(self.cfg.pose_graph.opt_iters_default)
+            if self.cfg.use_global_ba:
+                self._global_ba(self.graph.n_vertices - 1)
 
     def camera_trajectory(self):
         return self.tracker.camera_trajectory()

@@ -31,6 +31,23 @@ from rgbdslam_tpu.geometry.camera import Camera
 from rgbdslam_tpu.solvers.ransac_se3 import _inv3x3
 
 
+class BAEdges(NamedTuple):
+    """Relative-pose factors folded into the BA normal equations.
+
+    Landmark tracks drift with viewpoint (the detected corner slides), so a
+    landmark-only global BA is *less* accurate than the pose graph built from
+    dense 500-point RANSAC registrations. Joint optimization keeps both: the
+    edge factors carry the pairwise registration information (the reference's
+    g2o edges, Solver/PoseGraph.cpp:199-217), the landmark terms add
+    cross-view structure.
+    """
+
+    a: jnp.ndarray   # (E,) i32 vertex a (the 'current' side of Z = T_{a<-b})
+    b: jnp.ndarray   # (E,) i32 vertex b
+    Z: jnp.ndarray   # (E, 4, 4) measured T_{a<-b} in the Twc convention
+    w: jnp.ndarray   # (E,) information weight; 0 disables (padding)
+
+
 class BAProblem(NamedTuple):
     Tcw: jnp.ndarray        # (K, 4, 4) keyframe poses (world->camera)
     Xw: jnp.ndarray         # (L, 3) landmark positions
@@ -85,6 +102,23 @@ def _reproj_jacobians(cam: Camera, Tcw_o: jnp.ndarray, Xw: jnp.ndarray,
     return uvz, Jc, Jl, 1.0 / jnp.maximum(sigma_z, 1e-4)
 
 
+def _edge_residual_jacobians(Tcw_a, Tcw_b, Z):
+    """Edge residual r = log(Z^-1 Twc_a^-1 Twc_b) with Twc = Tcw^-1, and its
+    Jacobians wrt *Tcw* left increments (matching the BA pose update
+    Tcw <- exp(xi) Tcw). Mirrors solvers/pose_graph.py's g2o EdgeSE3
+    convention so graph edges and BA factors agree."""
+
+    def f(x):
+        Ta = se3.exp(x[:6]) @ Tcw_a
+        Tb = se3.exp(x[6:]) @ Tcw_b
+        return se3.log_smooth(se3.inverse(Z) @ Ta @ se3.inverse(Tb))
+
+    x0 = jnp.zeros((12,), Tcw_a.dtype)
+    r = f(x0)
+    J = jax.jacfwd(f)(x0)
+    return r, J[:, :6], J[:, 6:]
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3, 4))
 def local_ba(
     cam: Camera,
@@ -93,8 +127,11 @@ def local_ba(
     iterations: int = 5,
     huber_delta: float = 2.45,   # sqrt(5.991), the g2o convention
     damping: float = 1e-4,
+    edges: BAEdges | None = None,
+    edge_huber: float = 1.0,     # pose-graph Huber width (PoseGraphConfig)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Optimize keyframe poses + landmark positions.
+    """Optimize keyframe poses + landmark positions (+ optional relative-pose
+    edge factors for joint pose-graph/landmark optimization).
 
     Returns (Tcw_opt [K,4,4], Xw_opt [L,3], final_cost []).
     fixed_kf: (K,) bool — gauge anchors (typically the oldest window KF).
@@ -149,6 +186,28 @@ def local_ba(
         kf = problem.obs_kf
         H = H.at[kf, :, kf, :].add(Hcc_o)
         g = jnp.zeros((K, 6), dtype=dtype).at[kf].add(bc_o)
+
+        # relative-pose edge factors (touch poses only; independent of the
+        # landmark Schur elimination below)
+        if edges is not None:
+            r_e, Ja, Jb = jax.vmap(_edge_residual_jacobians)(
+                Tcw[edges.a], Tcw[edges.b], edges.Z
+            )
+            rn_e = jnp.linalg.norm(r_e, axis=-1)
+            hub = jnp.where(rn_e > edge_huber,
+                            edge_huber / jnp.maximum(rn_e, 1e-9), 1.0)
+            we = (edges.w * hub)[:, None, None]
+            H = H.at[edges.a, :, edges.a, :].add(
+                we * jnp.einsum("eri,erj->eij", Ja, Ja))
+            H = H.at[edges.a, :, edges.b, :].add(
+                we * jnp.einsum("eri,erj->eij", Ja, Jb))
+            H = H.at[edges.b, :, edges.a, :].add(
+                we * jnp.einsum("eri,erj->eij", Jb, Ja))
+            H = H.at[edges.b, :, edges.b, :].add(
+                we * jnp.einsum("eri,erj->eij", Jb, Jb))
+            g = g.at[edges.a].add(we[:, :, 0] * jnp.einsum("eri,er->ei", Ja, r_e))
+            g = g.at[edges.b].add(we[:, :, 0] * jnp.einsum("eri,er->ei", Jb, r_e))
+            cost = cost + jnp.sum(edges.w * hub * rn_e * rn_e)
 
         # Schur: S -= G_a Hll^-1 G_b^T over observation pairs of each landmark
         GHinv = jnp.einsum("lmij,ljk->lmik", G, Hll_inv)     # (L, M, 6, 3)

@@ -132,3 +132,71 @@ def test_ba_ignores_invalid_observations():
         obs_valid=jnp.asarray(bad_valid)), fixed, iterations=5)
     T2, X2, _ = local_ba(CAM, p2, fixed, iterations=5)
     np.testing.assert_allclose(np.asarray(T1), np.asarray(T2), atol=1e-5)
+
+
+def test_ba_padded_keyframes_stay_identity():
+    """Global-BA bucketing: extra padded keyframes (fixed, no observations)
+    must not move and must not disturb the real solution."""
+    rng = np.random.default_rng(5)
+    problem, Tcw_gt, Xw_gt = make_problem(rng, K=6)
+    K, pad_k = 6, 8
+    Tcw_pad = jnp.concatenate(
+        [problem.Tcw,
+         jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (pad_k - K, 4, 4))]
+    )
+    padded = problem._replace(Tcw=Tcw_pad)
+    fixed = np.zeros((pad_k,), bool)
+    fixed[0] = True
+    fixed[K:] = True
+    Tcw_opt, Xw_opt, _ = local_ba(CAM, padded, jnp.asarray(fixed), 6)
+    np.testing.assert_allclose(
+        np.asarray(Tcw_opt[K:]),
+        np.broadcast_to(np.eye(4, dtype=np.float32), (pad_k - K, 4, 4)),
+        atol=1e-6)
+
+    fixed_ref = jnp.zeros((K,), bool).at[0].set(True)
+    Tcw_ref, Xw_ref, _ = local_ba(CAM, problem, fixed_ref, 6)
+    np.testing.assert_allclose(np.asarray(Tcw_opt[:K]), np.asarray(Tcw_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(Xw_opt), np.asarray(Xw_ref),
+                               atol=1e-5)
+
+
+def test_ba_edge_factors_constrain_poses():
+    """Joint BA: high-weight relative-pose edge factors pull the solution to
+    the edge-consistent trajectory even against noisy landmark terms."""
+    import jax
+
+    from rgbdslam_tpu.solvers.ba import BAEdges
+
+    rng = np.random.default_rng(9)
+    problem, Tcw_gt, Xw_gt = make_problem(rng, K=6, px_noise=1.5,
+                                          lm_noise=0.1, pose_noise=0.05)
+    K = 6
+    # edges: ground-truth consecutive relative poses in the Twc convention
+    # Z = Twc_a^-1 Twc_b (a = i+1, b = i)
+    ea, eb, eZ = [], [], []
+    for i in range(K - 1):
+        a, b = i + 1, i
+        Twc_a = np.linalg.inv(Tcw_gt[a])
+        Twc_b = np.linalg.inv(Tcw_gt[b])
+        ea.append(a)
+        eb.append(b)
+        eZ.append(np.linalg.inv(Twc_a) @ Twc_b)
+    pad = 8
+    a = np.zeros((pad,), np.int32); a[: K - 1] = ea
+    b = np.zeros((pad,), np.int32); b[: K - 1] = eb
+    Z = np.tile(np.eye(4, dtype=np.float32), (pad, 1, 1))
+    Z[: K - 1] = np.stack(eZ)
+    w = np.zeros((pad,), np.float32); w[: K - 1] = 1e5
+    edges = BAEdges(a=jnp.asarray(a), b=jnp.asarray(b), Z=jnp.asarray(Z),
+                    w=jnp.asarray(w))
+
+    fixed = jnp.zeros((K,), bool).at[0].set(True)
+    T_lm, _, _ = local_ba(CAM, problem, fixed, 8)
+    T_joint, _, _ = local_ba(CAM, problem, fixed, 8, edges=edges,
+                             edge_huber=1.0)
+    err_lm = pose_errs(np.asarray(T_lm), Tcw_gt).mean()
+    err_joint = pose_errs(np.asarray(T_joint), Tcw_gt).mean()
+    assert err_joint < err_lm
+    assert err_joint < 0.01, f"joint BA err {err_joint}"

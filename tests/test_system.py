@@ -90,3 +90,22 @@ def test_system_with_sensor_noise():
     rmse, info = ate_rmse(ts_e, poses, ds.timestamps, ds.poses_twc)
     assert system.tracker.stats.failures <= 3
     assert rmse < 0.12, f"noisy full-SLAM ATE {rmse}"
+
+
+def test_system_global_ba():
+    """Global landmark-Schur BA after loop closure + at shutdown keeps (or
+    improves) the pose-graph solution's accuracy."""
+    from dataclasses import replace
+
+    cfg = replace(CFG, use_global_ba=True, global_ba_iterations=4)
+    ds = SyntheticDataset(n_frames=100, cam=CAM, trajectory="orbit",
+                          loops=1.15)
+    system = SlamSystem(CAM, cfg, seed=0)
+    for i in range(len(ds)):
+        ts, gray, depth = ds.grab(i)
+        system.track(ts, gray, depth)
+    system.finish()
+    ts_e, poses = system.camera_trajectory()
+    rmse, _ = ate_rmse(ts_e, poses, ds.timestamps, ds.poses_twc)
+    assert system.loops_closed >= 1
+    assert rmse < 0.06, f"global-BA full-SLAM ATE {rmse:.4f} m"
