@@ -111,9 +111,12 @@ def main():
             m = match_frames(f_prev, f_cur, cfg.matcher.nn_ratio)
             p1, p2, w, valid = gather_matched_points(f_prev, f_cur, m)
             res = ransac_se3(p1, p2, w, valid, sub, cfg.ransac)
-            # GICP polish as in the live tracker (rmse-triggered select)
+            # GICP polish as in the live tracker (rmse-triggered select;
+            # depth-image surface covariances from the frame features)
             T_g, conv, _ = gicp_refine(p1, p2, res.inliers, res.T21,
-                                       None, cfg.icp)
+                                       None, cfg.icp,
+                                       C1=f_prev.surf_cov,
+                                       C2=f_cur.surf_cov[m.idx2])
             use = (res.rmse >= cfg.icp.rmse_trigger) & conv & res.success
             T21 = jnp.where(use, T_g, res.T21)
             return (f_cur, k), (T21, res.num_inliers)

@@ -47,7 +47,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="full-map landmark BA after loop closures + at "
                         "shutdown")
     p.add_argument("--detector", default="svo_fast",
-                   choices=["svo_fast", "orb", "gftt"])
+                   choices=["svo_fast", "fast", "brief", "orb", "orb2",
+                            "gftt", "star", "brisk", "freak", "latch",
+                            "sift", "surf"])
     p.add_argument("--adaptive", action="store_true",
                    help="adaptive FAST threshold (ADAPTIVE mode)")
     p.add_argument("--num-features", type=int, default=1024)

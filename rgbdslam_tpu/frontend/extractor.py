@@ -9,9 +9,15 @@ OpenCV detector types and a NORMAL/ADAPTIVE mode switch
 - 'orb': same detection with IC-angle orientation + steered BRIEF
   (ORBextractor semantics, Features/ORBextractor.cpp:16-87).
 - 'gftt': pure Shi-Tomasi ranking, no FAST gate (GFTT-class detectors).
-  (The remaining OpenCV types — BRISK/FREAK/SURF/SIFT/... — are descriptor
-  families foreign to the Hamming pipeline; the framework standardizes on
-  256-bit binary descriptors, which is what the live reference path uses.)
+- 'fast' / 'brief': aliases of the live FAST+BRIEF path.
+- 'star': center-surround (CenSurE) response + BRIEF.
+- 'brisk' / 'freak' / 'latch': FAST detection + the corresponding binary
+  sampling pattern (ops/descriptors.py).
+- 'sift': DoG response + 128-D float gradient-histogram descriptor (L2).
+- 'surf': box-Hessian response + the same float descriptor (L2).
+All twelve reference factory types (Features/Extractor.h:13-26) map onto
+these (ORB2's fused detect+describe is the default fusion here; SVO == the
+live 'svo_fast').
 
 ADAPTIVE mode replaces the DetectorAdjuster -> VideoDynamic -> VideoGrid
 stack (Features/Extractor.cpp:82-109): instead of re-detecting up to 5 times
@@ -33,7 +39,30 @@ from rgbdslam_tpu.geometry.camera import Camera
 
 
 class Extractor:
-    DETECTORS = ("svo_fast", "orb", "gftt")
+    # name -> (response, use_fast_gate, descriptor); reference factory table
+    # (Features/Extractor.h:13-26; ORB2/SVO/FAST/BRIEF collapse onto the
+    # fused live path)
+    VARIANTS = {
+        "svo_fast": ("fast_st", True, "brief"),
+        "fast": ("fast_st", True, "brief"),
+        "brief": ("fast_st", True, "brief"),
+        "orb": ("fast_st", True, "orb"),
+        "orb2": ("fast_st", True, "orb"),
+        "gftt": ("fast_st", False, "brief"),
+        "star": ("star", False, "brief"),
+        "brisk": ("fast_st", True, "brisk"),
+        "freak": ("fast_st", True, "freak"),
+        "latch": ("fast_st", True, "latch"),
+        "sift": ("dog", False, "sift"),
+        "surf": ("hessian", False, "sift"),
+    }
+    DETECTORS = tuple(VARIANTS)
+    # response magnitudes differ by orders of magnitude (Shi-Tomasi scores
+    # are O(100) on 8-bit images; DoG is a blur difference O(1), Hessian a
+    # product of second derivatives): scale the min_response gate per
+    # response so one config value works across variants
+    RESPONSE_GATE_SCALE = {"fast_st": 1.0, "star": 0.05, "dog": 0.02,
+                           "hessian": 0.01}
 
     def __init__(
         self,
@@ -59,16 +88,25 @@ class Extractor:
         self.threshold = float(cfg.fast_threshold)
 
     def __call__(self, gray, depth) -> FrameFeatures:
+        response, use_fast_gate, descriptor = self.VARIANTS[self.detector]
+        cfg = self.cfg
+        gate = self.RESPONSE_GATE_SCALE[response]
+        if gate != 1.0:
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg,
+                                      min_response=cfg.min_response * gate)
         f = build_frame_features(
             self.cam,
             jnp.asarray(gray),
             jnp.asarray(depth),
-            self.cfg,
-            use_orientation=(self.detector == "orb"),
+            cfg,
             fast_threshold=jnp.float32(self.threshold),
-            use_fast_gate=(self.detector != "gftt"),
+            use_fast_gate=use_fast_gate,
+            descriptor=descriptor,
+            response=response,
         )
-        if self.adaptive and self.detector != "gftt":
+        if self.adaptive and use_fast_gate:
             n = int(f.valid.sum())
             # DetectorAdjuster::tooFew/tooMany (x0.7 / x1.3, clamped)
             if n < self.target_min:

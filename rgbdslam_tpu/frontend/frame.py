@@ -48,6 +48,10 @@ class FrameFeatures:
                              #   tracks: depth at an edge corner flips
                              #   between fore/background across views and
                              #   poisons bundle adjustment
+    surf_cov: jnp.ndarray    # (N, 3, 3) local surface covariance from the
+                             #   depth-image patch (plane-to-plane GICP
+                             #   weighting without the O(N^2) sparse-set kNN;
+                             #   SURVEY.md §7 design stance)
 
     @property
     def num_slots(self) -> int:
@@ -59,7 +63,7 @@ class FrameFeatures:
         return self.valid & self.has_depth
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 6))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 6, 7, 8))
 def build_frame_features(
     cam: Camera,
     gray: jnp.ndarray,
@@ -68,6 +72,8 @@ def build_frame_features(
     use_orientation: bool = False,
     fast_threshold=None,
     use_fast_gate: bool = True,
+    descriptor: str = "brief",
+    response: str = "fast_st",
 ) -> FrameFeatures:
     """gray [H,W] f32 (0..255), depth [H,W] f32 meters -> FrameFeatures.
 
@@ -75,6 +81,13 @@ def build_frame_features(
     `fast_threshold` may be a traced scalar override (adaptive mode varies it
     per frame without recompiling); `use_fast_gate=False` gives the
     GFTT-style pure Shi-Tomasi detector.
+
+    `descriptor`: 'brief' (upright, the live path) | 'orb' (steered; also
+    selected by use_orientation) | 'brisk' | 'freak' | 'latch' | 'sift'
+    (float, L2-matched). `response`: 'fast_st' | 'star' | 'dog' | 'hessian'
+    alternative detector responses (ops/fast.py) — together these cover the
+    reference factory's 12 detector/descriptor types
+    (Features/Extractor.h:13-26).
     """
     pyramid = image_ops.build_pyramid(gray, cfg.num_levels)
     kp = fast_ops.detect_keypoints(
@@ -87,18 +100,37 @@ def build_frame_features(
         min_border=cfg.min_border,
         use_fast_gate=use_fast_gate,
         subpixel=cfg.subpixel,
+        response=response,
     )
 
     blurred = image_ops.gaussian_blur(gray, sigma=2.0, radius=3)
     if use_orientation:
+        descriptor = "orb"
+    if descriptor == "orb":
         # steered BRIEF via the binned-rotation matmul path (ORB semantics)
         desc, _angles = orb_ops.orb_descriptors_dense(
             blurred, gray, kp.uv, cfg.brief_patch_size
         )
-    else:
+    elif descriptor == "brief":
         # upright BRIEF: patch extraction + one-hot MXU matmuls
         desc = orb_ops.brief_descriptors_dense(blurred, kp.uv,
                                                cfg.brief_patch_size)
+    elif descriptor in ("brisk", "freak"):
+        from rgbdslam_tpu.ops.descriptors import pattern_descriptors_dense
+
+        desc = pattern_descriptors_dense(blurred, kp.uv, descriptor,
+                                         cfg.brief_patch_size)
+    elif descriptor == "latch":
+        from rgbdslam_tpu.ops.descriptors import latch_descriptors_dense
+
+        box3 = image_ops.box_filter_sum(gray, 1) / 9.0
+        desc = latch_descriptors_dense(box3, kp.uv, cfg.brief_patch_size)
+    elif descriptor == "sift":
+        from rgbdslam_tpu.ops.descriptors import sift_descriptors_dense
+
+        desc = sift_descriptors_dense(blurred, kp.uv)
+    else:
+        raise ValueError(f"unknown descriptor {descriptor!r}")
 
     # Depth lookup at the detected (distorted) coords, like the reference
     # (Core/Frame.cpp:91-117 reads mImDepth at mvKeys); unprojection uses the
@@ -126,6 +158,10 @@ def build_frame_features(
     xyz = cam_mod.unproject(cam, uv_undist, z_safe)
     intensity = image_ops.nearest_sample(gray, kp.uv)
 
+    from rgbdslam_tpu.solvers.icp import depth_patch_covariances
+
+    surf_cov = depth_patch_covariances(cam, depth, kp.uv)
+
     return FrameFeatures(
         uv=kp.uv,
         uv_undist=uv_undist,
@@ -137,4 +173,5 @@ def build_frame_features(
         has_depth=has_depth,
         intensity=intensity,
         smooth=smooth,
+        surf_cov=surf_cov,
     )

@@ -53,7 +53,13 @@ def match_descriptors(
     'pallas'. Both paths compute identical results: (i -> j) is kept iff j is
     i's nearest train, i is j's nearest query (mutual-nearest dedup), and the
     Lowe ratio passes.
+
+    Float descriptors (SIFT/SURF-class, ops/descriptors.py) dispatch to the
+    L2 path — the reference picks NORM_HAMMING vs NORM_L2 from the descriptor
+    dtype the same way (Features/Matcher.cpp:16, Extractor::mNorm).
     """
+    if jnp.issubdtype(desc1.dtype, jnp.floating):
+        return _match_descriptors_l2(desc1, valid1, desc2, valid2, ratio)
     use_pallas = backend == "pallas" or (
         backend == "auto" and jax.default_backend() == "tpu"
     )
@@ -73,6 +79,37 @@ def match_descriptors(
     mutual = col_best[best_idx] == rows
     valid = ratio_ok & mutual & valid1 & (best_dist < BIG_DIST)
     return MatchResult(idx2=best_idx, dist=best_dist, valid=valid)
+
+
+def _match_descriptors_l2(
+    desc1: jnp.ndarray,
+    valid1: jnp.ndarray,
+    desc2: jnp.ndarray,
+    valid2: jnp.ndarray,
+    ratio: float = 0.9,
+) -> MatchResult:
+    """L2 2-NN + ratio + mutual-nearest on float descriptors (one MXU
+    matmul: ||a-b||^2 = ||a||^2 + ||b||^2 - 2 a.b)."""
+    big = jnp.float32(1e12)
+    n1 = jnp.sum(desc1 * desc1, axis=-1)                   # (N1,)
+    n2 = jnp.sum(desc2 * desc2, axis=-1)                   # (N2,)
+    cross = desc1 @ desc2.T                                 # (N1, N2) MXU
+    d2 = jnp.maximum(n1[:, None] + n2[None, :] - 2.0 * cross, 0.0)
+    d2 = jnp.where(valid1[:, None] & valid2[None, :], d2, big)
+
+    best_idx = jnp.argmin(d2, axis=1).astype(jnp.int32)
+    best = jnp.take_along_axis(d2, best_idx[:, None], axis=1)[:, 0]
+    cols = jnp.arange(d2.shape[1], dtype=jnp.int32)
+    second = jnp.min(
+        jnp.where(cols[None, :] == best_idx[:, None], big, d2), axis=1
+    )
+    # ratio test on distances (not squared): d < r * d2nd
+    ratio_ok = jnp.sqrt(best) < ratio * jnp.sqrt(second)
+    col_best = jnp.argmin(d2, axis=0).astype(jnp.int32)
+    rows = jnp.arange(desc1.shape[0], dtype=jnp.int32)
+    mutual = col_best[best_idx] == rows
+    valid = ratio_ok & mutual & valid1 & (best < big)
+    return MatchResult(idx2=best_idx, dist=jnp.sqrt(best), valid=valid)
 
 
 @jax.jit

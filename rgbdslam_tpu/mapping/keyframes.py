@@ -21,6 +21,8 @@ class KeyframeStore:
         self.max_keyframes = max_keyframes
         self.n_feat = num_features
         K, N = max_keyframes, num_features
+        # descriptor store is lazily (re)shaped on first insert: binary
+        # families are (N, 8) u32, SIFT/SURF-class are (N, 128) f32
         self.desc = np.zeros((K, N, 8), dtype=np.uint32)
         self.xyz = np.zeros((K, N, 3), dtype=np.float32)
         self.obs_valid = np.zeros((K, N), dtype=bool)
@@ -47,6 +49,10 @@ class KeyframeStore:
         desc, xyz, obs_valid, uv, intensity, smooth = jax.device_get(
             (f.desc, f.xyz, f.obs_valid, f.uv_undist, f.intensity, f.smooth)
         )
+        if k == 0 and (self.desc.shape[2:] != desc.shape[1:]
+                       or self.desc.dtype != desc.dtype):
+            self.desc = np.zeros((self.max_keyframes,) + desc.shape,
+                                 dtype=desc.dtype)
         self.desc[k] = desc
         self.xyz[k] = xyz
         self.obs_valid[k] = obs_valid

@@ -159,6 +159,7 @@ def detect_keypoints(
     use_fast_gate: bool = True,   # False -> pure Shi-Tomasi (GFTT-style)
     use_pallas: bool = True,
     subpixel: bool = False,
+    response: str = "fast_st",    # 'fast_st' | 'star' | 'dog' | 'hessian'
 ) -> Keypoints:
     """Multi-level FAST detection with best-per-cell grid NMS into N slots.
 
@@ -188,9 +189,12 @@ def detect_keypoints(
         if cell_l < 1:
             break
         h, w = img.shape
-        score, raw = masked_score_map(img, fast_threshold,
-                                      use_fast_gate=use_fast_gate,
-                                      use_pallas=use_pallas)
+        if response == "fast_st":
+            score, raw = masked_score_map(img, fast_threshold,
+                                          use_fast_gate=use_fast_gate,
+                                          use_pallas=use_pallas)
+        else:
+            score, raw = response_masked_score(img, response)
         raw_maps.append(raw)
         # border gate in level-0 coordinates
         yy = jnp.arange(h, dtype=jnp.float32)[:, None] * scale
@@ -258,3 +262,76 @@ def detect_keypoints(
         valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
 
     return Keypoints(uv=uv, level=level, score=jnp.where(valid, top_scores, 0.0), valid=valid)
+
+
+# ---------------------------------------------------------------------------
+# Alternative detector response maps (Extractor factory parity,
+# Features/Extractor.h:13-26: STAR, SURF, SIFT detector variants)
+# ---------------------------------------------------------------------------
+# Each produces a dense per-level response whose local maxima feed the same
+# grid NMS / top-N budget as the FAST/Shi-Tomasi path. XLA-only: these are
+# selectable alternatives, not the live hot path.
+
+
+def star_response_map(img: jnp.ndarray, inner: int = 2,
+                      outer: int = 4) -> jnp.ndarray:
+    """CenSurE/STAR-style center-surround response: |mean(inner box) -
+    mean(surrounding ring)| (OpenCV StarDetector's bi-level filter,
+    approximated with axis-aligned boxes instead of star shapes)."""
+    a_in = float((2 * inner + 1) ** 2)
+    a_out = float((2 * outer + 1) ** 2)
+    s_in = image_ops.box_filter_sum(img, inner)
+    s_out = image_ops.box_filter_sum(img, outer)
+    ring = (s_out - s_in) / (a_out - a_in)
+    return jnp.abs(s_in / a_in - ring)
+
+
+def dog_response_map(img: jnp.ndarray, sigma: float = 1.2,
+                     k: float = 1.6) -> jnp.ndarray:
+    """SIFT-style difference-of-Gaussians magnitude (the pyramid provides the
+    octave axis; this is the intra-octave response)."""
+    r1 = max(1, int(3 * sigma))
+    r2 = max(1, int(3 * sigma * k))
+    g1 = image_ops.gaussian_blur(img, sigma=sigma, radius=r1)
+    g2 = image_ops.gaussian_blur(img, sigma=sigma * k, radius=r2)
+    return jnp.abs(g1 - g2)
+
+
+def hessian_response_map(img: jnp.ndarray, radius: int = 2) -> jnp.ndarray:
+    """SURF-style box-filter Hessian determinant: Dxx*Dyy - (0.9*Dxy)^2 on a
+    box-smoothed image."""
+    s = image_ops.box_filter_sum(img, radius) / float((2 * radius + 1) ** 2)
+    dxx = _shift_np(s, 0, 2) - 2.0 * s + _shift_np(s, 0, -2)
+    dyy = _shift_np(s, 2, 0) - 2.0 * s + _shift_np(s, -2, 0)
+    dxy = 0.25 * (_shift_np(s, 1, 1) - _shift_np(s, 1, -1)
+                  - _shift_np(s, -1, 1) + _shift_np(s, -1, -1))
+    return jnp.maximum(dxx * dyy - (0.9 * dxy) ** 2, 0.0)
+
+
+def _shift_np(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """b[y, x] = a[y+dy, x+dx], zero-filled (host-side XLA shift)."""
+    h, w = a.shape
+    if dy > 0:
+        a = jnp.concatenate([a[dy:], jnp.zeros((dy, w), a.dtype)], 0)
+    elif dy < 0:
+        a = jnp.concatenate([jnp.zeros((-dy, w), a.dtype), a[:dy]], 0)
+    if dx > 0:
+        a = jnp.concatenate([a[:, dx:], jnp.zeros((h, dx), a.dtype)], 1)
+    elif dx < 0:
+        a = jnp.concatenate([jnp.zeros((h, -dx), a.dtype), a[:, :dx]], 1)
+    return a
+
+
+RESPONSE_MAPS = {
+    "star": star_response_map,
+    "dog": dog_response_map,
+    "hessian": hessian_response_map,
+}
+
+
+def response_masked_score(img: jnp.ndarray, response: str):
+    """Masked score map for an alternative response: dense response + 3x3
+    NMS (the FAST/Shi-Tomasi path uses masked_score_map instead)."""
+    score = RESPONSE_MAPS[response](img)
+    keep = nms3x3(score)
+    return jnp.where(keep, score, -jnp.inf), score

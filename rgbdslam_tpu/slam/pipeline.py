@@ -53,7 +53,9 @@ class PipelinedOdometry:
                     # GICP polish, as in the tracker (rmse-triggered; the
                     # branch is a select under scan)
                     T_g, conv, _ = gicp_refine(p1, p2, res.inliers, T21,
-                                               None, icp_cfg)
+                                               None, icp_cfg,
+                                               C1=f_prev.surf_cov,
+                                               C2=f_cur.surf_cov[m.idx2])
                     use = (res.rmse >= icp_cfg.rmse_trigger) & conv & res.success
                     T21 = jnp.where(use, T_g, T21)
                 return (f_cur, k), (T21, res.num_inliers, res.success)

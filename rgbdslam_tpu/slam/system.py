@@ -178,8 +178,10 @@ class SlamSystem:
                 connections.add(j)
                 self.loop_detector.connect(k, j)
 
-        self.loop_detector.add(np.asarray(f.desc), np.asarray(f.obs_valid),
-                               connections)
+        binary_desc = np.asarray(f.desc).dtype == np.uint32
+        if binary_desc:
+            self.loop_detector.add(np.asarray(f.desc),
+                                   np.asarray(f.obs_valid), connections)
 
         # landmark-track extension (Landmark::addObservation analog): match
         # the previous keyframe's keypoints into this one
@@ -221,9 +223,10 @@ class SlamSystem:
             match_idx, match_valid, k - 1 if k > 0 else None,
         )
 
-        # loop detection (detectLoop)
+        # loop detection (detectLoop) — BoW quantization needs binary
+        # descriptors; float (SIFT/SURF-class) runs are odometry+proximity
         loop_found = False
-        if self.kfs_since_loop >= self.cfg.loop.min_kfs_since_loop:
+        if binary_desc and self.kfs_since_loop >= self.cfg.loop.min_kfs_since_loop:
             if self._detect_and_close_loop(k):
                 self.kfs_since_loop = 0
                 loop_found = True

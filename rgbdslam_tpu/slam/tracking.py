@@ -97,7 +97,9 @@ class Tracker:
             m = match_frames(ref, cur, matcher_cfg.nn_ratio)
             p1, p2, w, valid = gather_matched_points(ref, cur, m)
             res = ransac_se3(p1, p2, w, valid, key, ransac_cfg)
-            return res, p1, p2
+            # matched surface covariances for the GICP stage (depth-image
+            # patches; cheaper + truer than sparse-set kNN)
+            return res, p1, p2, ref.surf_cov, cur.surf_cov[m.idx2]
 
         self._fused_estimate = jax.jit(_fused)
 
@@ -115,8 +117,8 @@ class Tracker:
         return sub
 
     def _estimate(self, ref: FrameFeatures, cur: FrameFeatures) -> RansacResult:
-        res, p1, p2 = self._fused_estimate(ref, cur, self._next_key())
-        return res, (p1, p2, res.inliers)
+        res, p1, p2, C1, C2 = self._fused_estimate(ref, cur, self._next_key())
+        return res, (p1, p2, C1, C2)
 
     # ------------------------------------------------------------------
     def track(self, timestamp: float, gray, depth) -> np.ndarray:
@@ -192,9 +194,10 @@ class Tracker:
             # RANSAC pose instead of declaring tracking lost — the reference
             # overwrites its success flag with the GICP result
             # (System/Tracking.cpp:150), discarding a valid RANSAC estimate.
-            p1, p2, valid = pts
+            p1, p2, C1, C2 = pts
             T_ref, converged, _ = gicp_refine(p1, p2, res.inliers, res.T21,
-                                              None, self.cfg.icp)
+                                              None, self.cfg.icp,
+                                              C1=C1, C2=C2)
             converged, T_ref_host = jax.device_get((converged, T_ref))
             if bool(converged):
                 T21_host = T_ref_host

@@ -88,23 +88,45 @@ def mahalanobis_sq(
 
     T21: (..., 4, 4); p1, p2: (N, 3) camera-frame points.
     Returns (..., N). Mirrors errorFunction2 (Solver/SolverSE3.cpp:216-280).
+
+    Formulated on six symmetric-covariance scalar planes instead of
+    (..., N, 3, 3) tensors: with H hypotheses the tensor form materializes
+    ~100 MB of covariance/adjugate intermediates in HBM per call; the plane
+    form is ~20 (H, N) arrays that XLA keeps in one fusion.
     """
     R = T21[..., :3, :3]
     t = T21[..., :3, 3]
     mu1_in_2 = jnp.einsum("...ij,nj->...ni", R, p1) + t[..., None, :]
-    delta = mu1_in_2 - p2  # (..., N, 3)
+    delta = mu1_in_2 - p2              # (..., N, 3)
+    d1, d2, d3 = delta[..., 0], delta[..., 1], delta[..., 2]
 
-    s1 = _sigma_diag(p1[:, 2], cfg)  # (N, 3)
+    s1 = _sigma_diag(p1[:, 2], cfg)    # (N, 3) diag of Sigma_1
     s2 = _sigma_diag(p2[:, 2], cfg)
-    eye = jnp.eye(3, dtype=delta.dtype)
-    cov1 = s1[:, :, None] * eye      # (N, 3, 3) diagonal
-    cov2 = s2[:, :, None] * eye
-    # rotate cov1 into frame 2: R diag(s1) R^T  (correct conjugation)
-    cov1_in_2 = jnp.einsum("...ij,njk,...lk->...nil", R, cov1, R)
-    cov = cov1_in_2 + cov2           # (..., N, 3, 3)
-    sol = jnp.einsum("...nij,...nj->...ni", _inv3x3(cov), delta)
-    m2 = jnp.sum(delta * sol, axis=-1)
-    return jnp.maximum(m2, 0.0)
+
+    # C = R diag(s1) R^T + diag(s2): six unique entries as (..., N) planes,
+    # C_ij = sum_k R_ik R_jk s1_k (+ s2_i on the diagonal)
+    def centry(i, j):
+        c = sum((R[..., i, k] * R[..., j, k])[..., None] * s1[:, k]
+                for k in range(3))
+        if i == j:
+            c = c + s2[:, i]
+        return c                        # (..., N)
+
+    a, b, c = centry(0, 0), centry(0, 1), centry(0, 2)
+    d, e, f = centry(1, 1), centry(1, 2), centry(2, 2)
+
+    # m2 = delta^T adj(C) delta / det(C), symmetric closed form
+    A11 = d * f - e * e
+    A12 = c * e - b * f
+    A13 = b * e - c * d
+    A22 = a * f - c * c
+    A23 = b * c - a * e
+    A33 = a * d - b * b
+    det = a * A11 + b * A12 + c * A13
+    quad = (A11 * d1 * d1 + A22 * d2 * d2 + A33 * d3 * d3
+            + 2.0 * (A12 * d1 * d2 + A13 * d1 * d3 + A23 * d2 * d3))
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    return jnp.maximum(quad * inv_det, 0.0)
 
 
 def _score(
