@@ -59,6 +59,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="min keyframe-id gap for loop candidates")
     p.add_argument("--save-map", action="store_true")
     p.add_argument("--export-ply", action="store_true")
+    p.add_argument("--export-html", action="store_true",
+                   help="self-contained interactive 3-D map viewer "
+                        "(map_viewer.html; the Pangolin Viewer analog for "
+                        "headless hosts)")
     p.add_argument("--plot", action="store_true")
     p.add_argument("--native-loader", action="store_true",
                    help="use the C++ prefetching PNG loader for disk datasets")
@@ -261,6 +265,16 @@ def main(argv=None) -> int:
         if pts:
             save_ply(os.path.join(args.out_dir, "map_points.ply"),
                      np.concatenate(pts), np.concatenate(cols))
+
+    if args.export_html and system is not None:
+        from rgbdslam_tpu.viz.export import save_html_viewer
+
+        pw, inten = system.landmarks.world_points()
+        K = system.store.count
+        poses_twc = np.stack([np.linalg.inv(system.store.poses_cw[k])
+                              for k in range(K)]) if K else None
+        save_html_viewer(os.path.join(args.out_dir, "map_viewer.html"),
+                         pw, inten, poses_twc)
 
     if args.plot:
         from rgbdslam_tpu.viz.export import plot_trajectories

@@ -112,3 +112,74 @@ def draw_tracked_points(gray: np.ndarray, uv: np.ndarray, inlier: np.ndarray,
         color = (0, 255, 0) if inl else (128, 128, 128)
         img[y - 1 : y + 2, x - 1 : x + 2] = color
     return img
+
+
+def save_html_viewer(path: str, xyz: np.ndarray,
+                     intensity: Optional[np.ndarray] = None,
+                     poses_twc: Optional[np.ndarray] = None,
+                     max_points: int = 200_000) -> None:
+    """Self-contained interactive 3-D map viewer (single HTML file).
+
+    The reference's Viewer/MapDrawer is a live Pangolin GL window
+    (Drawer/Viewer.cpp:39-136: landmarks, camera frusta, trajectory); on a
+    headless TPU host the equivalent artifact is an offline viewer — a
+    zero-dependency HTML canvas renderer with drag-rotate / wheel-zoom that
+    embeds the landmark cloud and keyframe trajectory as JSON.
+    """
+    import json as _json
+
+    xyz = np.asarray(xyz, dtype=np.float32)
+    if len(xyz) > max_points:
+        step = int(np.ceil(len(xyz) / max_points))
+        xyz = xyz[::step]
+        intensity = intensity[::step] if intensity is not None else None
+    inten = (np.clip(np.asarray(intensity), 0, 255).astype(int).tolist()
+             if intensity is not None else [200] * len(xyz))
+    pts = np.round(xyz, 4).tolist()
+    traj = []
+    if poses_twc is not None:
+        traj = np.round(np.asarray(poses_twc)[:, :3, 3], 4).tolist()
+
+    html = """<!doctype html><meta charset="utf-8">
+<title>rgbdslam_tpu map</title>
+<style>body{margin:0;background:#111;color:#ccc;font:12px monospace}
+#hud{position:fixed;top:8px;left:8px}</style>
+<canvas id=c></canvas><div id=hud></div>
+<script>
+const PTS=__PTS__,INT=__INT__,TRAJ=__TRAJ__;
+const cv=document.getElementById('c'),ctx=cv.getContext('2d');
+let W,H;function rs(){W=cv.width=innerWidth;H=cv.height=innerHeight;draw()}
+onresize=rs;
+let yaw=0.5,pitch=0.4,dist=8,cx=0,cy=0,cz=0;
+if(PTS.length){let n=PTS.length,sx=0,sy=0,sz=0;
+for(const p of PTS){sx+=p[0];sy+=p[1];sz+=p[2]}cx=sx/n;cy=sy/n;cz=sz/n}
+function draw(){ctx.fillStyle='#111';ctx.fillRect(0,0,W,H);
+const cyaw=Math.cos(yaw),syaw=Math.sin(yaw),cp=Math.cos(pitch),sp=Math.sin(pitch);
+const f=0.9*Math.min(W,H);
+function proj(p){let x=p[0]-cx,y=p[1]-cy,z=p[2]-cz;
+let x1=cyaw*x+syaw*z,z1=-syaw*x+cyaw*z;
+let y2=cp*y-sp*z1,z2=sp*y+cp*z1+dist;
+if(z2<0.1)return null;return[W/2+f*x1/z2,H/2+f*y2/z2]}
+for(let i=0;i<PTS.length;i++){const q=proj(PTS[i]);if(!q)continue;
+const g=INT[i];ctx.fillStyle=`rgb(${g},${g},${g})`;
+ctx.fillRect(q[0],q[1],2,2)}
+if(TRAJ.length){ctx.strokeStyle='#e33';ctx.lineWidth=2;ctx.beginPath();
+let started=false;
+for(const t of TRAJ){const q=proj(t);if(!q)continue;
+if(!started){ctx.moveTo(q[0],q[1]);started=true}else ctx.lineTo(q[0],q[1])}
+ctx.stroke()}
+document.getElementById('hud').textContent=
+  `${PTS.length} pts  ${TRAJ.length} keyframes  drag=rotate wheel=zoom`}
+let drag=false,lx=0,ly=0;
+cv.onmousedown=e=>{drag=true;lx=e.clientX;ly=e.clientY};
+onmouseup=()=>drag=false;
+onmousemove=e=>{if(!drag)return;yaw+=(e.clientX-lx)*0.01;
+pitch+=(e.clientY-ly)*0.01;lx=e.clientX;ly=e.clientY;draw()};
+onwheel=e=>{dist*=e.deltaY>0?1.1:0.9;draw()};
+rs();
+</script>"""
+    html = (html.replace("__PTS__", _json.dumps(pts))
+                .replace("__INT__", _json.dumps(inten))
+                .replace("__TRAJ__", _json.dumps(traj)))
+    with open(path, "w") as f:
+        f.write(html)

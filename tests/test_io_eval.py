@@ -142,3 +142,21 @@ def test_poses_are_rigid():
         RtR = T[:3, :3].T @ T[:3, :3]
         np.testing.assert_allclose(RtR, np.eye(3), atol=1e-5)
         assert np.linalg.det(T[:3, :3]) > 0.99
+
+
+def test_html_viewer_export(tmp_path):
+    from rgbdslam_tpu.viz.export import save_html_viewer
+
+    rng = np.random.default_rng(0)
+    xyz = rng.normal(size=(500, 3)).astype(np.float32)
+    inten = rng.uniform(0, 255, 500).astype(np.float32)
+    poses = np.tile(np.eye(4, dtype=np.float32), (5, 1, 1))
+    poses[:, 0, 3] = np.arange(5)
+    p = str(tmp_path / "v.html")
+    save_html_viewer(p, xyz, inten, poses)
+    html = open(p).read()
+    assert "<canvas" in html and "PTS=" in html
+    assert html.count(",") > 1000  # data actually embedded
+    # subsampling cap
+    save_html_viewer(p, np.tile(xyz, (500, 1)), None, None, max_points=1000)
+    assert len(open(p).read()) < 10_000_000
