@@ -37,7 +37,10 @@ uv0 = jnp.asarray(
 ).astype(jnp.float32)
 
 
-def scan_time(body, init, label, n=8):
+def scan_time(body, init, label, n=8, base=0.0):
+    """Times `body` inside a TRIPS-long scan; prints raw ms/trip and, when a
+    baseline is given, the baseline-corrected cost (raw - empty-scan cost)."""
+
     @jax.jit
     def run(c0):
         c, _ = jax.lax.scan(body, c0, None, length=TRIPS)
@@ -46,10 +49,11 @@ def scan_time(body, init, label, n=8):
     o = run(init); jax.block_until_ready(o)
     t0 = time.perf_counter()
     for _ in range(n):
-        o = run(o) if not isinstance(o, tuple) else run(o)
+        o = run(o)
     jax.block_until_ready(o)
     dt = (time.perf_counter() - t0) / (n * TRIPS) * 1e3
-    print(f"{label:44s} {dt:8.4f} ms/trip", file=sys.stderr)
+    corrected = f"  ({dt - base:8.4f} ms corrected)" if base else ""
+    print(f"{label:44s} {dt:8.4f} ms/trip{corrected}", file=sys.stderr)
     return dt
 
 
@@ -70,7 +74,7 @@ def brief_body_full(uvc, _):
     d = _pack_bits((flat @ sel_a) < (flat @ sel_b))
     return uvc + (d[0, 0] % 2).astype(jnp.float32) * 1e-6, None
 
-dfull = scan_time(brief_body_full, uv0, "BRIEF full-width band (current)") - base
+scan_time(brief_body_full, uv0, "BRIEF full-width band (current)", base=base)
 
 
 def make_brief_win(WIN):
@@ -95,7 +99,7 @@ def make_brief_win(WIN):
     return body
 
 for WIN in (64, 128):
-    scan_time(make_brief_win(WIN), uv0, f"BRIEF window-{WIN} band")
+    scan_time(make_brief_win(WIN), uv0, f"BRIEF window-{WIN} band", base=base)
 
 
 def brief_body_dslice(uvc, _):
@@ -109,7 +113,7 @@ def brief_body_dslice(uvc, _):
     d = _pack_bits((flat @ sel_a) < (flat @ sel_b))
     return uvc + (d[0, 0] % 2).astype(jnp.float32) * 1e-6, None
 
-scan_time(brief_body_dslice, uv0, "BRIEF direct 31x31 dslice")
+scan_time(brief_body_dslice, uv0, "BRIEF direct 31x31 dslice", base=base)
 
 # ---- RANSAC / GICP at different pair budgets ----
 f0 = build_frame_features(cam, *frames[0], cfg.extractor)
@@ -135,7 +139,7 @@ def make_ransac_body(M):
     return body
 
 for M in (1024, 512, 256):
-    scan_time(make_ransac_body(M), (key0, jnp.float32(0)), f"RANSAC pairs={M}")
+    scan_time(make_ransac_body(M), (key0, jnp.float32(0)), f"RANSAC pairs={M}", base=base)
 
 
 def make_gicp_body(M):
@@ -152,11 +156,11 @@ def make_gicp_body(M):
     return body
 
 for M in (1024, 512, 256):
-    scan_time(make_gicp_body(M), jnp.zeros((4, 4), jnp.float32), f"GICP pairs={M}")
+    scan_time(make_gicp_body(M), jnp.zeros((4, 4), jnp.float32), f"GICP pairs={M}", base=base)
 
 # ---- full frame-feature build (detect+BRIEF+aux) for reference ----
 def feat_body(acc, _):
     f = build_frame_features(cam, gray + acc * 0, depth, cfg.extractor)
     return acc + f.xyz[0, 0] * 1e-12, None
 
-scan_time(feat_body, jnp.float32(0), "build_frame_features (detect+desc+aux)")
+scan_time(feat_body, jnp.float32(0), "build_frame_features (detect+desc+aux)", base=base)
