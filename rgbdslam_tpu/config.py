@@ -151,6 +151,12 @@ class PoseGraphConfig:
     min_vertices: int = 6               # ">5 vertices" (Solver/PoseGraph.cpp:354)
     max_edges: int = 4096               # preallocated edge slots
     lm_lambda0: float = 1e-4
+    # above this (padded) vertex count the dense (6K)^2 Cholesky is replaced
+    # by the matrix-free block-Jacobi-preconditioned CG solve (solvers/cg.py)
+    # so memory/compute stay O(K + E) as the map grows (SURVEY.md §7 layer 7
+    # "then Schur/CG"); equivalence is tested in tests/test_pose_graph.py
+    cg_vertex_threshold: int = 256
+    cg_iters: int = 64                  # inner CG iterations per GN step
 
 
 @dataclasses.dataclass(frozen=True)

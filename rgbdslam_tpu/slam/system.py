@@ -50,6 +50,8 @@ class SlamSystem:
             cfg.pose_graph.max_edges,
             information=cfg.pose_graph.edge_information,
             huber_delta=cfg.pose_graph.huber_delta,
+            cg_threshold=cfg.pose_graph.cg_vertex_threshold,
+            cg_iters=cfg.pose_graph.cg_iters,
         )
         self.loop_detector = LoopDetector(cfg.loop, kf_cfg.max_keyframes, seed=seed)
         from rgbdslam_tpu.mapping.landmarks import LandmarkStore

@@ -233,11 +233,16 @@ class PoseGraph:
     """
 
     def __init__(self, max_vertices: int, max_edges: int,
-                 information: float = 100.0, huber_delta: float = 1.0):
+                 information: float = 100.0, huber_delta: float = 1.0,
+                 cg_threshold: int = 256, cg_iters: int = 64):
         self.max_vertices = max_vertices
         self.max_edges = max_edges
         self.information = information
         self.huber_delta = huber_delta
+        # padded-K switch point from the dense (6K)^2 Cholesky to the
+        # matrix-free CG solve (solvers/cg.py) — keeps the solve O(K + E)
+        self.cg_threshold = cg_threshold
+        self.cg_iters = cg_iters
         self.Twc = np.tile(np.eye(4, dtype=np.float32), (max_vertices, 1, 1))
         self.n_vertices = 0
         self.e_a = np.zeros((max_edges,), dtype=np.int32)
@@ -313,10 +318,19 @@ class PoseGraph:
         fixed = np.zeros((Kp,), dtype=bool)
         fixed[0] = True          # vertex 0 gauge (Solver/PoseGraph.cpp:358)
         fixed[K:] = True         # padding vertices pinned
-        Twc_opt, _cost = optimize_pose_graph(
-            jnp.asarray(Twc), edges, jnp.asarray(fixed),
-            iterations, self.huber_delta,
-        )
+        if Kp >= self.cg_threshold:
+            # large-map path: matrix-free preconditioned CG, O(K + E) memory
+            from rgbdslam_tpu.solvers.cg import optimize_pose_graph_cg
+
+            Twc_opt, _cost = optimize_pose_graph_cg(
+                jnp.asarray(Twc), edges, jnp.asarray(fixed),
+                iterations, self.cg_iters, self.huber_delta,
+            )
+        else:
+            Twc_opt, _cost = optimize_pose_graph(
+                jnp.asarray(Twc), edges, jnp.asarray(fixed),
+                iterations, self.huber_delta,
+            )
         out = np.asarray(Twc_opt)[:K]
         self.Twc[:K] = out
         return out

@@ -173,3 +173,43 @@ def test_cg_matches_dense_solver():
         d = np.linalg.inv(np.asarray(T_cg)[i]) @ np.asarray(T_dense)[i]
         assert float(se3.translation_norm(jnp.asarray(d))) < 2e-3, i
         assert float(se3.rotation_angle(jnp.asarray(d))) < 2e-3, i
+
+
+def test_live_pose_graph_switches_to_cg_above_threshold():
+    """PoseGraph.optimize takes the matrix-free CG path once the padded
+    vertex count crosses cg_threshold, and the result matches the dense
+    solve on the identical graph (SURVEY.md §7 layer 7 'then Schur/CG')."""
+    rng = np.random.default_rng(7)
+    n = 40
+
+    def build(cg_threshold):
+        g = PoseGraph(max_vertices=64, max_edges=256,
+                      cg_threshold=cg_threshold, cg_iters=80)
+        gt = [np.eye(4, dtype=np.float32)]
+        r = np.random.default_rng(7)
+        for i in range(1, n):
+            d = np.eye(4, dtype=np.float32)
+            d[:3, :3] = ScipyRot.from_rotvec(r.normal(scale=0.08, size=3)).as_matrix()
+            d[:3, 3] = r.normal(scale=0.25, size=3)
+            gt.append((gt[-1] @ d).astype(np.float32))
+        for i in range(n):
+            T0 = gt[i].copy()
+            if i > 0:
+                noise = se3.exp(jnp.asarray(
+                    r.normal(scale=0.04, size=6).astype(np.float32)))
+                T0 = np.asarray(noise) @ T0
+            g.add_vertex(T0)
+        for i in range(1, n):
+            g.add_edge(i, i - 1, np.linalg.inv(gt[i]) @ gt[i - 1])
+            if i >= 3:
+                g.add_edge(i, i - 3, np.linalg.inv(gt[i]) @ gt[i - 3])
+        return g
+
+    g_dense = build(cg_threshold=10**6)   # always dense
+    g_cg = build(cg_threshold=8)          # padded K=64 >= 8 -> CG path
+    out_dense = g_dense.optimize(iterations=15)
+    out_cg = g_cg.optimize(iterations=15)
+    for i in range(n):
+        d = np.linalg.inv(out_cg[i]) @ out_dense[i]
+        assert float(se3.translation_norm(jnp.asarray(d))) < 3e-3, i
+        assert float(se3.rotation_angle(jnp.asarray(d))) < 3e-3, i
