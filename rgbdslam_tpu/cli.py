@@ -222,6 +222,8 @@ def main(argv=None) -> int:
         "failures": tracker.stats.failures,
         "mean_inliers": tracker.stats.mean_inliers,
     }
+    if tracker.stats.relocalizations:
+        result["relocalizations"] = tracker.stats.relocalizations
     if system is not None:
         result["loops_closed"] = system.loops_closed
         result["graph_edges"] = system.graph.n_edges

@@ -217,6 +217,16 @@ class SlamConfig:
     # landmark-track extension reprojection gate (px): associations worse
     # than this poison the BA observation table
     track_gate_px: float = 3.0
+    # LOST -> relocalization (beyond the reference: its LOST state never
+    # persists and recover() just holds the reference pose,
+    # System/Tracking.cpp:195-199; here `lost_after` consecutive VO failures
+    # enter LOST and the system relocalizes against the BoW keyframe
+    # database — retrieval per LoopDetector::obtainCandidates, verification
+    # per Tracking::correct's RansacSE3 usage, System/Tracking.cpp:165-193)
+    use_relocalization: bool = True
+    lost_after: int = 3              # consecutive VO failures before LOST
+    reloc_min_inliers: int = 20      # RANSAC inliers to accept a candidate
+    reloc_max_candidates: int = 3    # top BoW candidates verified per attempt
 
 
 DEFAULT_CONFIG = SlamConfig()

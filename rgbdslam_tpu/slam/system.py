@@ -67,6 +67,8 @@ class SlamSystem:
                                         #  Drawer/Viewer.cpp:113-120)
         self._key = jax.random.PRNGKey(seed + 12345)
         self.tracker.on_keyframe = self._on_keyframe
+        if cfg.use_relocalization:
+            self.tracker.relocalize_fn = self._relocalize
 
         # batched candidate verification: match + RANSAC vmapped over C
         # candidate keyframes against the current one in a single device
@@ -241,6 +243,56 @@ class SlamSystem:
         # global BA polishes the pose-graph solution after a loop closure
         if self.cfg.use_global_ba and loop_found:
             self._global_ba(k)
+
+    def _relocalize(self, f: FrameFeatures):
+        """LOST-state global relocalization: BoW retrieval over the keyframe
+        database + batched RANSAC verification of the top candidates.
+
+        Beyond the reference (its recover() only holds the previous pose,
+        System/Tracking.cpp:195-199); the retrieval follows
+        LoopDetector::obtainCandidates' scoring and the geometric check
+        mirrors Tracking::correct's RansacSE3 usage
+        (System/Tracking.cpp:165-193). Returns (ok, Tcw) for the tracker.
+        """
+        from rgbdslam_tpu.loop.bow import bow_scores, bow_vector
+
+        ld = self.loop_detector
+        if ld.words is None or ld.count < 1:
+            return False, None
+        if np.asarray(f.desc).dtype != np.uint32:
+            return False, None   # float-descriptor runs have no BoW database
+        vec = bow_vector(f.desc, f.obs_valid, ld.words, ld.idf)
+        scores = np.asarray(
+            bow_scores(vec, jnp.asarray(ld.bow_db[: ld.count]))
+        )
+        n_cand = min(self.cfg.reloc_max_candidates, ld.count)
+        cands = [int(j) for j in np.argsort(-scores)[:n_cand]]
+
+        # batched match + RANSAC, reusing the proximity-verification program
+        # (same padded candidate shape -> no new compile)
+        C = self.cfg.pose_graph.max_proximity_candidates
+        idx = np.zeros((C,), np.int32)
+        idx[: len(cands)] = cands
+        T_b, ninl_b, ok_b, _nm_b = self._verify_batch(
+            jnp.asarray(self.store.desc[idx]),
+            jnp.asarray(self.store.xyz[idx]),
+            jnp.asarray(self.store.obs_valid[idx]),
+            f.desc, f.xyz, f.obs_valid,
+            self._next_key(),
+        )
+        T_b, ninl_b, ok_b = jax.device_get((T_b, ninl_b, ok_b))
+        best, best_inl = -1, self.cfg.reloc_min_inliers - 1
+        for c in range(len(cands)):
+            if ok_b[c] and int(ninl_b[c]) > best_inl:
+                best, best_inl = c, int(ninl_b[c])
+        if best < 0:
+            return False, None
+        j = cands[best]
+        # _verify_batch runs RansacSE3 with F1=candidate KF, F2=query frame,
+        # so T_b = T_{query<-KF}: Tcw_query = T @ Tcw_KF
+        # (Solver/SolverSE3.cpp:124-126 composition)
+        Tcw = np.asarray(T_b[best]) @ self.store.poses_cw[j]
+        return True, Tcw.astype(np.float32)
 
     def _detect_and_close_loop(self, k: int) -> bool:
         th = max(

@@ -54,6 +54,7 @@ class TrackStats:
     frames: int = 0
     failures: int = 0
     acum_inliers: int = 0
+    relocalizations: int = 0
 
     @property
     def mean_inliers(self) -> int:
@@ -110,6 +111,13 @@ class Tracker:
         self.trajectory: List[TrackedFrame] = []
         self.velocity = np.eye(4, dtype=np.float32)  # motion model (Tracking.cpp:54)
         self.on_keyframe = None  # callback(kf_index, timestamp, features, Tcw)
+        # LOST-state relocalization hook, installed by SlamSystem:
+        # callback(FrameFeatures) -> (ok, Tcw). The reference's LOST never
+        # persists (recover() holds the pose, System/Tracking.cpp:195-199);
+        # with this hook, `lost_after` consecutive failures enter LOST and
+        # the frame is re-localized against the BoW keyframe database.
+        self.relocalize_fn = None
+        self.consecutive_failures = 0
 
     # ------------------------------------------------------------------
     def _next_key(self):
@@ -133,6 +141,16 @@ class Tracker:
             self._initialize(timestamp, f, Tcw)
         else:
             Tcw = self._visual_odometry(timestamp, f)
+            if self.state is TrackerState.LOST and self.relocalize_fn is not None:
+                ok, Tcw_r = self.relocalize_fn(f)
+                if ok:
+                    Tcw = np.asarray(Tcw_r, dtype=np.float32)
+                    self.state = TrackerState.OK
+                    self.consecutive_failures = 0
+                    self.stats.relocalizations += 1
+                    # recovered pose becomes the live reference
+                    self.ref_frame, self.ref_Tcw = f, Tcw.copy()
+                    self.ref2_frame, self.ref2_Tcw = f, Tcw.copy()
 
         # keyframe policy + bookkeeping
         if self.state is TrackerState.OK and len(self.keyframes) > 0:
@@ -222,10 +240,18 @@ class Tracker:
 
         if success:
             Tcw = (np.asarray(T21_host) @ ref_Tcw).astype(np.float32)
+            self.consecutive_failures = 0
+            if self.state is TrackerState.LOST:
+                self.state = TrackerState.OK
         else:
             # recover(): hold the reference pose (System/Tracking.cpp:195-199)
             self.stats.failures += 1
             Tcw = self.ref_Tcw.copy()
+            self.consecutive_failures += 1
+            if (self.cfg.use_relocalization
+                    and self.relocalize_fn is not None
+                    and self.consecutive_failures >= self.cfg.lost_after):
+                self.state = TrackerState.LOST
 
         # motion model, updated for parity with the reference
         # (System/Tracking.cpp:54); the reference likewise only *computes* it —
