@@ -31,6 +31,35 @@ from rgbdslam_tpu.solvers.pose_graph import (
 )
 
 
+def pcg(H_mv, M_inv, b_rhs, iters: int):
+    """Preconditioned conjugate gradients on H x = b.
+
+    H_mv/M_inv: pytree-shaped matvec and preconditioner application (here
+    (K, 6) -> (K, 6)). Fixed iteration count (static shape for jit); the
+    caller picks `iters` so the Jacobi-preconditioned system converges
+    (pose graphs: ~sqrt(condition) ~ graph diameter). Shared by the
+    single-device solver below and the edge-sharded distributed variant
+    (parallel/dist_ba.py), where H_mv psum-reduces its scatter."""
+
+    def cg_body(i, st):
+        x, r, p, rz = st
+        Hp = H_mv(p)
+        alpha = rz / jnp.maximum(jnp.vdot(p, Hp), 1e-20)
+        x = x + alpha * p
+        r = r - alpha * Hp
+        z = M_inv(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-20)
+        p = z + beta * p
+        return (x, r, p, rz_new)
+
+    x0 = jnp.zeros_like(b_rhs)
+    z0 = M_inv(b_rhs)
+    st = (x0, b_rhs, z0, jnp.vdot(b_rhs, z0))
+    x, _, _, _ = jax.lax.fori_loop(0, iters, cg_body, st)
+    return x
+
+
 def _edge_blocks(Twc, edges: PoseGraphEdges, huber_delta: float):
     """Per-edge GN blocks: Haa, Hbb, Hab (E,6,6); ga, gb (E,6); cost."""
     Ta = Twc[edges.a]
@@ -104,25 +133,7 @@ def optimize_pose_graph_cg(
             return jnp.einsum("kij,kj->ki", D_inv, x)
 
         # preconditioned CG on H xi = -g
-        b_rhs = -g
-
-        def cg_body(i, st):
-            x, r, p, rz = st
-            Hp = H_mv(p)
-            alpha = rz / jnp.maximum(jnp.vdot(p, Hp), 1e-20)
-            x = x + alpha * p
-            r = r - alpha * Hp
-            z = M_inv(r)
-            rz_new = jnp.vdot(r, z)
-            beta = rz_new / jnp.maximum(rz, 1e-20)
-            p = z + beta * p
-            return (x, r, p, rz_new)
-
-        x0 = jnp.zeros_like(g)
-        r0 = b_rhs
-        z0 = M_inv(r0)
-        st = (x0, r0, z0, jnp.vdot(r0, z0))
-        xi, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_body, st)
+        xi = pcg(H_mv, M_inv, -g, cg_iters)
         xi = jnp.where(fixed[:, None], 0.0, xi)
         return (se3.exp(xi) @ Twc_cur, cost)
 
