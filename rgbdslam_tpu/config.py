@@ -23,6 +23,13 @@ class ExtractorConfig:
 
     num_features: int = 1024          # fixed slot budget (reference: 1000, padded to a lane multiple)
     num_levels: int = 4               # pyramid levels (SVOextractor default 3+1; main.cpp uses default)
+    scale_factor: float = 2.0         # pyramid scale step: 2.0 = the SVO
+                                      # half-sample path (live default,
+                                      # Features/SVOextractor.cpp:135-144);
+                                      # 1.2 + num_levels=8 = the ORBextractor
+                                      # scale space with per-level quotas
+                                      # (Features/Extractor.cpp:21,
+                                      # ORBextractor.cpp:347-419,773-797)
     cell_size: int = 16               # grid cell for best-per-cell NMS (reference SVO: 5*2^?; tuned for budget)
     fast_threshold: float = 20.0      # FAST threshold (Features/SVOextractor.cpp:101, mThresh)
     min_response: float = 20.0        # final Shi-Tomasi response gate (Features/SVOextractor.cpp:128)

@@ -87,30 +87,54 @@ class Extractor:
         self.th_max = th_max
         self.threshold = float(cfg.fast_threshold)
 
-    def __call__(self, gray, depth) -> FrameFeatures:
+    def _resolved(self):
+        """(response, use_fast_gate, descriptor, cfg) with the variant's
+        static adjustments applied — all Python-static, safe under trace."""
+        import dataclasses
+
         response, use_fast_gate, descriptor = self.VARIANTS[self.detector]
         cfg = self.cfg
         gate = self.RESPONSE_GATE_SCALE[response]
         if gate != 1.0:
-            import dataclasses
-
             cfg = dataclasses.replace(cfg,
                                       min_response=cfg.min_response * gate)
-        f = build_frame_features(
+        if self.detector in ("orb", "orb2") and cfg.scale_factor == 2.0:
+            # ORBextractor scale-space parity: x1.2, 8 levels, per-level
+            # quotas (Features/Extractor.cpp:21) — unless the caller pinned
+            # a non-default pyramid in the config
+            cfg = dataclasses.replace(cfg, scale_factor=1.2, num_levels=8)
+        return response, use_fast_gate, descriptor, cfg
+
+    def build(self, gray, depth, threshold) -> FrameFeatures:
+        """Pure feature build at a given (possibly traced) threshold —
+        callable from inside a larger jitted program (the tracker fuses it
+        with matching + RANSAC into one per-frame dispatch)."""
+        response, use_fast_gate, descriptor, cfg = self._resolved()
+        return build_frame_features(
             self.cam,
             jnp.asarray(gray),
             jnp.asarray(depth),
             cfg,
-            fast_threshold=jnp.float32(self.threshold),
+            fast_threshold=jnp.float32(threshold)
+            if not hasattr(threshold, "dtype") else threshold,
             use_fast_gate=use_fast_gate,
             descriptor=descriptor,
             response=response,
         )
-        if self.adaptive and use_fast_gate:
-            n = int(f.valid.sum())
-            # DetectorAdjuster::tooFew/tooMany (x0.7 / x1.3, clamped)
-            if n < self.target_min:
-                self.threshold = max(self.threshold * 0.7, self.th_min)
-            elif n > self.target_max:
-                self.threshold = min(self.threshold * 1.3, self.th_max)
+
+    def adapt(self, num_valid: int):
+        """DetectorAdjuster::tooFew/tooMany (x0.7 / x1.3, clamped) threshold
+        feedback from the previous frame's keypoint count."""
+        _, use_fast_gate, _, _ = self._resolved()
+        if not (self.adaptive and use_fast_gate):
+            return
+        if num_valid < self.target_min:
+            self.threshold = max(self.threshold * 0.7, self.th_min)
+        elif num_valid > self.target_max:
+            self.threshold = min(self.threshold * 1.3, self.th_max)
+
+    def __call__(self, gray, depth) -> FrameFeatures:
+        f = self.build(gray, depth, self.threshold)
+        if self.adaptive:
+            self.adapt(int(f.valid.sum()))
         return f

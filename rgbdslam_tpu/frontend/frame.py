@@ -89,49 +89,141 @@ def build_frame_features(
     reference factory's 12 detector/descriptor types
     (Features/Extractor.h:13-26).
     """
-    pyramid = image_ops.build_pyramid(gray, cfg.num_levels)
-    kp = fast_ops.detect_keypoints(
-        pyramid,
-        num_features=cfg.num_features,
-        cell_size=cfg.cell_size,
-        fast_threshold=(cfg.fast_threshold if fast_threshold is None
-                        else fast_threshold),
-        min_response=cfg.min_response,
-        min_border=cfg.min_border,
-        use_fast_gate=use_fast_gate,
-        subpixel=cfg.subpixel,
-        response=response,
-    )
-
-    blurred = image_ops.gaussian_blur(gray, sigma=2.0, radius=3)
     if use_orientation:
         descriptor = "orb"
+    thr = (cfg.fast_threshold if fast_threshold is None else fast_threshold)
+
+    if cfg.scale_factor != 2.0:
+        # ORB-SLAM2-class fractional scale space: x`scale_factor` pyramid,
+        # per-level feature quotas, per-level detection + description at
+        # level resolution, coords scaled back to level 0
+        # (Features/ORBextractor.cpp:347-419, 773-797).
+        kp, desc = _multiscale_detect_describe(
+            gray, cfg, thr, use_fast_gate, descriptor, response
+        )
+    else:
+        pyramid = image_ops.build_pyramid(gray, cfg.num_levels)
+        kp = fast_ops.detect_keypoints(
+            pyramid,
+            num_features=cfg.num_features,
+            cell_size=cfg.cell_size,
+            fast_threshold=thr,
+            min_response=cfg.min_response,
+            min_border=cfg.min_border,
+            use_fast_gate=use_fast_gate,
+            subpixel=cfg.subpixel,
+            response=response,
+        )
+        blurred = image_ops.gaussian_blur(gray, sigma=2.0, radius=3)
+        desc = _describe(blurred, gray, kp.uv, cfg, descriptor)
+
+    return _assemble_features(cam, gray, depth, kp, desc)
+
+
+def _describe(img_blurred, img_raw, uv, cfg: ExtractorConfig,
+              descriptor: str):
+    """Descriptor dispatch at the given image/coords (shared by the level-0
+    and per-pyramid-level paths)."""
     if descriptor == "orb":
         # steered BRIEF via the binned-rotation matmul path (ORB semantics)
         desc, _angles = orb_ops.orb_descriptors_dense(
-            blurred, gray, kp.uv, cfg.brief_patch_size
+            img_blurred, img_raw, uv, cfg.brief_patch_size
         )
-    elif descriptor == "brief":
+        return desc
+    if descriptor == "brief":
         # upright BRIEF: patch extraction + one-hot MXU matmuls
-        desc = orb_ops.brief_descriptors_dense(blurred, kp.uv,
+        return orb_ops.brief_descriptors_dense(img_blurred, uv,
                                                cfg.brief_patch_size)
-    elif descriptor in ("brisk", "freak"):
+    if descriptor in ("brisk", "freak"):
         from rgbdslam_tpu.ops.descriptors import pattern_descriptors_dense
 
-        desc = pattern_descriptors_dense(blurred, kp.uv, descriptor,
+        return pattern_descriptors_dense(img_blurred, uv, descriptor,
                                          cfg.brief_patch_size)
-    elif descriptor == "latch":
+    if descriptor == "latch":
         from rgbdslam_tpu.ops.descriptors import latch_descriptors_dense
 
-        box3 = image_ops.box_filter_sum(gray, 1) / 9.0
-        desc = latch_descriptors_dense(box3, kp.uv, cfg.brief_patch_size)
-    elif descriptor == "sift":
+        box3 = image_ops.box_filter_sum(img_raw, 1) / 9.0
+        return latch_descriptors_dense(box3, uv, cfg.brief_patch_size)
+    if descriptor == "sift":
         from rgbdslam_tpu.ops.descriptors import sift_descriptors_dense
 
-        desc = sift_descriptors_dense(blurred, kp.uv)
-    else:
-        raise ValueError(f"unknown descriptor {descriptor!r}")
+        return sift_descriptors_dense(img_blurred, uv)
+    raise ValueError(f"unknown descriptor {descriptor!r}")
 
+
+def _multiscale_detect_describe(gray, cfg: ExtractorConfig, thr,
+                                use_fast_gate: bool, descriptor: str,
+                                response: str):
+    """x`cfg.scale_factor` pyramid with per-level quotas: detect and describe
+    each level AT ITS OWN RESOLUTION (per-level orientation + pattern, like
+    ORBextractor computing descriptors on the blurred level image), then map
+    coordinates to level 0. Total described keypoints = the N budget, so the
+    cost matches the single-level path's."""
+    from rgbdslam_tpu.ops.fast import Keypoints
+
+    pyramid = image_ops.build_scaled_pyramid(gray, cfg.num_levels,
+                                             cfg.scale_factor)
+    shapes = [p.shape for p in pyramid]
+    quotas = fast_ops.level_quotas(cfg.num_features, cfg.num_levels,
+                                   cfg.scale_factor, cfg.cell_size, shapes)
+    uvs, descs, scores, levels, valids = [], [], [], [], []
+    for lvl, img_l in enumerate(pyramid):
+        if quotas[lvl] <= 0:
+            continue
+        kp_l = fast_ops.detect_keypoints_level(
+            img_l, quotas[lvl], cfg.cell_size, thr,
+            min_response=cfg.min_response,
+            min_border=max(cfg.min_border, cfg.brief_patch_size // 2 + 1),
+            use_fast_gate=use_fast_gate,
+            response=response,
+        )
+        blurred_l = image_ops.gaussian_blur(img_l, sigma=2.0, radius=3)
+        desc_l = _describe(blurred_l, img_l, kp_l.uv, cfg, descriptor)
+        scale = jnp.float32(cfg.scale_factor ** lvl)
+        uvs.append(kp_l.uv * scale)
+        descs.append(desc_l)
+        scores.append(kp_l.score)
+        levels.append(jnp.full((quotas[lvl],), lvl, jnp.int32))
+        valids.append(kp_l.valid)
+    kp = Keypoints(
+        uv=jnp.concatenate(uvs),
+        level=jnp.concatenate(levels),
+        score=jnp.concatenate(scores),
+        valid=jnp.concatenate(valids),
+    )
+    return kp, jnp.concatenate(descs)
+
+
+@jax.jit
+def pack_features_for_host(f: FrameFeatures) -> jnp.ndarray:
+    """Everything the host-side keyframe store needs, as ONE (N, D) f32 array
+    so the device->host copy is a single transfer (each array fetched
+    separately pays its own ~10 ms RPC over the remote-TPU tunnel).
+
+    Layout: [uv_undist(2) | xyz(3) | desc(8 bitcast or 128 float) |
+    intensity(1) | obs_valid(1) | smooth(1)]. Binary descriptors are
+    bitcast u32->f32 (transfers are bit-exact; the host views them back).
+    """
+    if f.desc.dtype == jnp.uint32:
+        desc_f = jax.lax.bitcast_convert_type(f.desc, jnp.float32)
+    else:
+        desc_f = f.desc.astype(jnp.float32)
+    return jnp.concatenate(
+        [
+            f.uv_undist,
+            f.xyz,
+            desc_f,
+            f.intensity[:, None],
+            f.obs_valid[:, None].astype(jnp.float32),
+            f.smooth[:, None].astype(jnp.float32),
+        ],
+        axis=1,
+    )
+
+
+def _assemble_features(cam: Camera, gray, depth, kp, desc) -> FrameFeatures:
+    """Shared feature-table tail: depth lookup/denoise, smoothness gate,
+    undistortion, unprojection, intensity, surface covariances."""
     # Depth lookup at the detected (distorted) coords, like the reference
     # (Core/Frame.cpp:91-117 reads mImDepth at mvKeys); unprojection uses the
     # undistorted coords (Core/Frame.cpp:251-281 + uprojectCamera).

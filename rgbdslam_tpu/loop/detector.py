@@ -99,6 +99,21 @@ class LoopDetector:
             )
         return k
 
+    def add_precomputed(self, vec: np.ndarray, connections: Set[int]) -> int:
+        """Register keyframe `count` whose BoW vector was already quantized
+        on device (the fused keyframe program computes it against the device
+        codebook; this keeps the host mirror in sync with zero extra device
+        work)."""
+        k = self.count
+        if k >= self.bow_db.shape[0]:
+            raise RuntimeError(
+                f"loop-detector keyframe budget exceeded ({self.bow_db.shape[0]})"
+            )
+        self._connections.append(set(connections))
+        self.bow_db[k] = vec
+        self.count += 1
+        return k
+
     def connect(self, a: int, b: int):
         """Record a direct KF connection (Frame::addConnection analog)."""
         if a < self.count and b < self.count:
@@ -106,17 +121,26 @@ class LoopDetector:
             self._connections[b].add(a)
 
     # ------------------------------------------------------------------
-    def candidates(self, k: int) -> List[int]:
-        """Loop candidates for keyframe k (obtainCandidates semantics)."""
+    def candidates(self, k: int,
+                   scores: Optional[np.ndarray] = None) -> List[int]:
+        """Loop candidates for keyframe k (obtainCandidates semantics).
+
+        `scores` may carry precomputed BoW scores of k against the database
+        (>= count entries; the fused keyframe program emits them) — otherwise
+        one device matvec computes them here."""
         if self.words is None or self.count < 2:
             return []
         conn = self._connections[k]
         if not conn:
             return []
 
-        scores = np.asarray(
-            bow_scores(jnp.asarray(self.bow_db[k]), jnp.asarray(self.bow_db[: self.count]))
-        )
+        if scores is None:
+            scores = np.asarray(
+                bow_scores(jnp.asarray(self.bow_db[k]),
+                           jnp.asarray(self.bow_db[: self.count]))
+            )
+        else:
+            scores = np.asarray(scores)[: self.count]
         conn_idx = [c for c in conn if c != k and c < self.count]
         if not conn_idx:
             return []

@@ -41,14 +41,33 @@ class KeyframeStore:
                 f"keyframe budget exceeded ({self.max_keyframes}); raise "
                 "KeyframeConfig.max_keyframes"
             )
-        k = self.count
-        # one bulk device->host transfer for the whole feature pytree (per-
-        # array np.asarray would pay the tunnel round trip 5x)
-        import jax
+        # ONE device->host transfer for the whole feature pytree (a tuple
+        # device_get still fetches each array in its own tunnel RPC)
+        from rgbdslam_tpu.frontend.frame import pack_features_for_host
 
-        desc, xyz, obs_valid, uv, intensity, smooth = jax.device_get(
-            (f.desc, f.xyz, f.obs_valid, f.uv_undist, f.intensity, f.smooth)
-        )
+        packed = np.asarray(pack_features_for_host(f))
+        return self.add_packed(timestamp, packed, f.desc.shape[1],
+                               f.desc.dtype == np.uint32, Tcw)
+
+    def add_packed(self, timestamp: float, packed: np.ndarray, nd: int,
+                   binary: bool, Tcw: np.ndarray) -> int:
+        """Insert from a host copy of pack_features_for_host's (N, nd+8)
+        layout (the fused keyframe program delivers it inside its single
+        result blob)."""
+        if self.count >= self.max_keyframes:
+            raise RuntimeError(
+                f"keyframe budget exceeded ({self.max_keyframes}); raise "
+                "KeyframeConfig.max_keyframes"
+            )
+        k = self.count
+        uv = packed[:, 0:2]
+        xyz = packed[:, 2:5]
+        desc = np.ascontiguousarray(packed[:, 5:5 + nd])
+        if binary:
+            desc = desc.view(np.uint32)
+        intensity = packed[:, 5 + nd]
+        obs_valid = packed[:, 6 + nd] > 0.5
+        smooth = packed[:, 7 + nd] > 0.5
         if k == 0 and (self.desc.shape[2:] != desc.shape[1:]
                        or self.desc.dtype != desc.dtype):
             self.desc = np.zeros((self.max_keyframes,) + desc.shape,

@@ -264,6 +264,84 @@ def detect_keypoints(
     return Keypoints(uv=uv, level=level, score=jnp.where(valid, top_scores, 0.0), valid=valid)
 
 
+def level_quotas(num_features: int, levels: int, scale_factor: float,
+                 cell_size: int, shapes) -> List[int]:
+    """Per-level feature allocation, geometric in 1/scale_factor
+    (ORBextractor's constructor allocation, Features/ORBextractor.cpp:347-419:
+    nfeatures * (1-q)/(1-q^L) * q^l with q = 1/f), capped by each level's
+    grid-cell count, remainder pushed to level 0."""
+    q = 1.0 / scale_factor
+    norm = num_features * (1.0 - q) / (1.0 - q**levels)
+    quotas = [int(round(norm * q**lvl)) for lvl in range(levels)]
+    caps = [(h // cell_size) * (w // cell_size) for h, w in shapes]
+    for lvl in range(levels - 1, 0, -1):
+        quotas[lvl] = min(quotas[lvl], caps[lvl])
+    # exact budget: level 0 absorbs caps + rounding drift (slots beyond its
+    # own cell count simply pad invalid)
+    quotas[0] = num_features - sum(quotas[1:])
+    return quotas
+
+
+def detect_keypoints_level(
+    img: jnp.ndarray,
+    quota: int,
+    cell_size: int,
+    fast_threshold,
+    min_response: float,
+    min_border: int,
+    use_fast_gate: bool = True,
+    use_pallas: bool = True,
+    response: str = "fast_st",
+) -> Keypoints:
+    """Single-pyramid-level detection into a fixed `quota` budget, in LEVEL
+    pixel coordinates (the multi-scale ORB path detects per level with a
+    per-level allocation + per-cell spatial balancing — the grid best-per-cell
+    reduction plays DistributeOctTree's role,
+    Features/ORBextractor.cpp:421-611)."""
+    h, w = img.shape
+    if response == "fast_st":
+        score, _raw = masked_score_map(img, fast_threshold,
+                                       use_fast_gate=use_fast_gate,
+                                       use_pallas=use_pallas)
+    else:
+        score, _raw = response_masked_score(img, response)
+    yy = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(w, dtype=jnp.float32)[None, :]
+    inb = ((xx >= min_border) & (xx < w - min_border)
+           & (yy >= min_border) & (yy < h - min_border))
+    masked = jnp.where(inb, score, -jnp.inf)
+
+    grid_rows, grid_cols = h // cell_size, w // cell_size
+    n_cells = grid_rows * grid_cols
+    hc, wc = grid_rows * cell_size, grid_cols * cell_size
+    tiles = masked[:hc, :wc].reshape(grid_rows, cell_size, grid_cols, cell_size)
+    tiles = tiles.transpose(0, 2, 1, 3).reshape(n_cells, cell_size * cell_size)
+    cell_max = tiles.max(axis=-1)
+    cell_arg = tiles.argmax(axis=-1).astype(jnp.int32)
+    py = cell_arg // cell_size
+    px = cell_arg % cell_size
+    cell_row = jnp.arange(n_cells, dtype=jnp.int32) // grid_cols
+    cell_col = jnp.arange(n_cells, dtype=jnp.int32) % grid_cols
+    u = (cell_col * cell_size + px).astype(jnp.float32)
+    v = (cell_row * cell_size + py).astype(jnp.float32)
+
+    k = min(quota, n_cells)
+    top_scores, top_idx = jax.lax.top_k(cell_max, k)
+    uv = jnp.stack([u[top_idx], v[top_idx]], axis=-1)
+    valid = jnp.isfinite(top_scores) & (top_scores > min_response)
+    if k < quota:
+        pad = quota - k
+        uv = jnp.concatenate([uv, jnp.zeros((pad, 2), jnp.float32)])
+        top_scores = jnp.concatenate([top_scores, jnp.full((pad,), -jnp.inf)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+    return Keypoints(
+        uv=uv,
+        level=jnp.zeros((quota,), jnp.int32),
+        score=jnp.where(valid, top_scores, 0.0),
+        valid=valid,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Alternative detector response maps (Extractor factory parity,
 # Features/Extractor.h:13-26: STAR, SURF, SIFT detector variants)

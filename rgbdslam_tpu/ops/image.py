@@ -33,6 +33,36 @@ def build_pyramid(img: jnp.ndarray, levels: int) -> List[jnp.ndarray]:
     return pyr
 
 
+def scaled_pyramid_shapes(h: int, w: int, levels: int,
+                          scale_factor: float) -> List[tuple]:
+    """Static per-level (h, w) for a x`scale_factor` pyramid (ORB-SLAM2's
+    ComputePyramid rounding: size_l = round(size_0 / f^l),
+    Features/ORBextractor.cpp:773-797)."""
+    return [
+        (max(int(round(h / scale_factor**lvl)), 16),
+         max(int(round(w / scale_factor**lvl)), 16))
+        for lvl in range(levels)
+    ]
+
+
+def build_scaled_pyramid(img: jnp.ndarray, levels: int,
+                         scale_factor: float) -> List[jnp.ndarray]:
+    """Fractional-scale pyramid via chained linear resize (the ORBextractor's
+    x1.2 / 8-level scale space, Features/ORBextractor.cpp:773-797 — cv::resize
+    INTER_LINEAR from the previous level, not from level 0, so blur
+    accumulates down the octaves exactly like the reference).
+
+    Shapes are static per (input shape, levels, factor) — one compile."""
+    shapes = scaled_pyramid_shapes(img.shape[0], img.shape[1], levels,
+                                   scale_factor)
+    pyr = [img]
+    for lvl in range(1, levels):
+        pyr.append(
+            jax.image.resize(pyr[-1], shapes[lvl], method="linear")
+        )
+    return pyr
+
+
 def gaussian_blur(img: jnp.ndarray, sigma: float = 2.0, radius: int = 3) -> jnp.ndarray:
     """Gaussian blur (ORBextractor blurs 7x7 sigma 2 before describing,
     Features/ORBextractor.cpp:746).

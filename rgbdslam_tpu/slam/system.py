@@ -70,8 +70,18 @@ class SlamSystem:
         if cfg.use_relocalization:
             self.tracker.relocalize_fn = self._relocalize
 
+        # --- device-resident keyframe bank ---------------------------------
+        # Descriptors / 3-D points / validity / BoW vectors stay ON DEVICE
+        # across the run: backend work gathers candidates from the bank by
+        # index, so per keyframe there is no host->device re-upload of
+        # feature tables and results come back as ONE packed blob (each
+        # separate transfer costs a ~10 ms tunnel RPC).
+        self._bank = None     # (desc [K,N,*], xyz [K,N,3], valid [K,N],
+                              #  bow [K,V])
+        self._bow_dev = None  # (words, idf) device copies once trained
+
         # batched candidate verification: match + RANSAC vmapped over C
-        # candidate keyframes against the current one in a single device
+        # candidate keyframes against the current frame in a single device
         # program — the sequential per-candidate loop costs C x 2 dispatch
         # round trips through the TPU tunnel
         matcher_cfg, ransac_cfg = cfg.matcher, cfg.ransac
@@ -87,13 +97,100 @@ class SlamSystem:
             res = ransac_se3(p1, p2, w, mvalid, key, ransac_cfg)
             return res.T21, res.num_inliers, res.success, n_matches
 
-        def _verify_batch(descs, xyzs, valids, desc_k, xyz_k, valid_k, key):
-            keys = jax.random.split(key, descs.shape[0])
-            return jax.vmap(
-                _verify_one, in_axes=(0, 0, 0, None, None, None, 0)
-            )(descs, xyzs, valids, desc_k, xyz_k, valid_k, keys)
+        def _verify_bank(D, X, V, idx, desc_k, xyz_k, valid_k, key):
+            """Verify bank KFs `idx` (C,) against the current frame; returns
+            (C, 19) packed rows [T21(16) | num_inliers | success | n_matches]
+            — one fetch for the whole candidate set."""
+            keys = jax.random.split(key, idx.shape[0])
+            T, ninl, ok, nm = jax.vmap(
+                lambda i, kk: _verify_one(D[i], X[i], V[i],
+                                          desc_k, xyz_k, valid_k, kk)
+            )(idx, keys)
+            return jnp.concatenate(
+                [T.reshape(-1, 16),
+                 jnp.stack([ninl.astype(jnp.float32),
+                            ok.astype(jnp.float32),
+                            nm.astype(jnp.float32)], axis=1)],
+                axis=1,
+            )
 
-        self._verify_batch = jax.jit(_verify_batch)
+        self._verify_bank_fn = jax.jit(_verify_bank)
+
+        # landmark-track extension, fused: match the previous KF (from the
+        # bank) into the current frame + the geometric/reprojection gates,
+        # all on device; ONE (2, N) fetch replaces a match fetch + host
+        # projection math
+        fx, fy, cx, cy = cam.fx, cam.fy, cam.cx, cam.cy
+        gate_px = cfg.track_gate_px
+
+        def _extend_tracks(D, X, V, kprev, desc_k, xyz_k, valid_k, uv_k, T21):
+            Dp, Xp, Vp = D[kprev], X[kprev], V[kprev]
+            m = match_descriptors(Dp, Vp, desc_k, valid_k,
+                                  matcher_cfg.nn_ratio)
+            # geometric gate on track extension: the relative KF pose is
+            # known, so a correct association must map the old 3-D point
+            # onto the new one (rejects descriptor aliasing). The metric
+            # gate alone admits BA-poisoning associations (0.10 m at z=2 m
+            # is a 10 px reprojection error for fx=200), so a pixel gate
+            # on the predicted reprojection is applied as well.
+            pred = Xp @ T21[:3, :3].T + T21[:3, 3]
+            err = jnp.linalg.norm(pred - xyz_k[m.idx2], axis=-1)
+            z = jnp.maximum(pred[:, 2], 1e-6)
+            u_pred = fx * pred[:, 0] / z + cx
+            v_pred = fy * pred[:, 1] / z + cy
+            uv_cur = uv_k[m.idx2]
+            err_px = jnp.hypot(u_pred - uv_cur[:, 0], v_pred - uv_cur[:, 1])
+            ok = (m.valid & (err < 0.10) & (err_px < gate_px)
+                  & (pred[:, 2] > 0.05))
+            return jnp.stack([m.idx2.astype(jnp.int32), ok.astype(jnp.int32)])
+
+        self._extend_tracks = jax.jit(_extend_tracks)
+
+        # --- fused keyframe program -----------------------------------------
+        # ALL per-keyframe device work in ONE dispatch + ONE blob fetch:
+        # bank insertion, host-store packing, batched proximity
+        # verification, landmark-track extension, BoW quantization + database
+        # scores. The unfused flow paid 6-8 separate ~10 ms tunnel round
+        # trips per keyframe — this is the difference between ~8 and ~30 fps
+        # full-SLAM on the tunneled chip.
+        import functools
+
+        def _kf_core(D, X, V, B, f, meta, words, idf, key, bow_on):
+            """meta: ONE (2 + C + 16,) f32 array carrying every host scalar
+            [k, kprev, idx(C), T21.ravel(16)] — each separate host argument
+            would pay its own device_put round trip over the tunnel. The
+            PRNG key evolves on device and is returned."""
+            from rgbdslam_tpu.frontend.frame import pack_features_for_host
+            from rgbdslam_tpu.loop.bow import bow_scores, bow_vector
+
+            k = meta[0].astype(jnp.int32)
+            kprev = meta[1].astype(jnp.int32)
+            idx = meta[2:2 + _C].astype(jnp.int32)
+            T21 = meta[2 + _C:].reshape(4, 4)
+            key, sub = jax.random.split(key)
+            D = D.at[k].set(f.desc)
+            X = X.at[k].set(f.xyz)
+            V = V.at[k].set(f.obs_valid)
+            ps = pack_features_for_host(f)
+            ver = _verify_bank(D, X, V, idx, f.desc, f.xyz, f.obs_valid, sub)
+            ext = _extend_tracks(D, X, V, kprev, f.desc, f.xyz,
+                                 f.obs_valid, f.uv_undist, T21)
+            parts = [ps.reshape(-1), ext.reshape(-1).astype(jnp.float32),
+                     ver.reshape(-1)]
+            if bow_on:
+                vec = bow_vector(f.desc, f.obs_valid, words, idf)
+                B = B.at[k].set(vec)
+                scores = bow_scores(vec, B)
+                parts += [vec, scores]
+            return D, X, V, B, key, jnp.concatenate(parts)
+
+        _C = cfg.pose_graph.max_proximity_candidates
+
+        self._kf_fused = {
+            flag: jax.jit(functools.partial(_kf_core, bow_on=flag),
+                          donate_argnums=(0, 1, 2, 3))
+            for flag in (False, True)
+        }
 
     # ------------------------------------------------------------------
     def track(self, timestamp: float, gray, depth) -> np.ndarray:
@@ -104,36 +201,98 @@ class SlamSystem:
         self._key, sub = jax.random.split(self._key)
         return sub
 
-    def _match_and_verify(self, i: int, j: int, min_matches: int):
-        """Match KF i against KF j and verify with RANSAC.
+    def _ensure_bank(self, f: FrameFeatures):
+        if self._bank is None:
+            K = self.cfg.keyframe.max_keyframes
+            self._bank = (
+                jnp.zeros((K,) + tuple(f.desc.shape), f.desc.dtype),
+                jnp.zeros((K,) + tuple(f.xyz.shape), jnp.float32),
+                jnp.zeros((K, f.desc.shape[0]), bool),
+                jnp.zeros((K, self.cfg.loop.vocab_size), jnp.float32),
+            )
 
-        Returns (ok, T_ji, num_inliers): T_ji maps KF-i camera coords into
-        KF-j camera coords (RansacSE3 with F1=i, F2=j).
-        """
-        di, xi, vi = self.store.features_of(i)
-        dj, xj, vj = self.store.features_of(j)
-        m = match_descriptors(
-            jnp.asarray(di), jnp.asarray(vi), jnp.asarray(dj), jnp.asarray(vj),
-            self.cfg.matcher.nn_ratio,
-        )
-        n_matches = int(m.num_matches)
-        if n_matches < min_matches:
-            return False, None, 0
-        p1 = jnp.asarray(xi)
-        p2 = jnp.asarray(xj)[m.idx2]
-        w = correspondence_weights(p1, p2, m.valid)
-        res = ransac_se3(p1, p2, w, m.valid, self._next_key(), self.cfg.ransac)
-        if not bool(res.success) or int(res.num_inliers) < min_matches:
-            return False, None, int(res.num_inliers)
-        return True, np.asarray(res.T21), int(res.num_inliers)
+    def _verify_candidates(self, cands, f: FrameFeatures):
+        """Batched match+RANSAC of bank KFs `cands` against frame `f` via the
+        device bank; returns host arrays (T21 (C,4,4), ninl, ok, n_matches)
+        for the first len(cands) rows — a single device call + ONE fetch.
 
-    # ------------------------------------------------------------------
+        RansacSE3 runs with F1=candidate KF, F2=f, so T21[c] = T_{f<-cand_c}.
+        Padding rows (idx 0) are fetched but ignored by the callers."""
+        C = self.cfg.pose_graph.max_proximity_candidates
+        idx = np.zeros((C,), np.int32)
+        idx[: len(cands)] = cands
+        D, X, V = self._bank[:3]
+        packed = np.asarray(self._verify_bank_fn(
+            D, X, V, jnp.asarray(idx), f.desc, f.xyz, f.obs_valid,
+            self._next_key(),
+        ))
+        T = packed[:, :16].reshape(-1, 4, 4)
+        ninl = packed[:, 16].astype(np.int32)
+        ok = packed[:, 17] > 0.5
+        nm = packed[:, 18].astype(np.int32)
+        return T, ninl, ok, nm
+
     def _on_keyframe(self, k: int, timestamp: float, f: FrameFeatures,
                      Tcw: np.ndarray):
-        store_k = self.store.add(timestamp, f, Tcw)
+        """Backend step per keyframe: ONE fused device dispatch + ONE blob
+        fetch covers bank insertion, store packing, proximity verification,
+        track extension and BoW scoring; everything after is host numpy and
+        the (rare) loop-closure solves."""
+        pg_cfg = self.cfg.pose_graph
+        N = f.uv.shape[0]
+        nd = f.desc.shape[1]
+        binary_desc = f.desc.dtype == jnp.uint32
+        self._ensure_bank(f)
+        bow_on = binary_desc and self._bow_dev is not None
+
+        # proximity candidates (createLocalEdges' radius search) from host
+        # poses — the kd-tree replacement (Solver/PoseGraph.cpp:157-184)
+        cands = []
+        if k > 0:
+            ck = -Tcw[:3, :3].T @ Tcw[:3, 3]
+            c_all = self.store.centers()
+            d = np.linalg.norm(c_all - ck, axis=-1)
+            order = np.argsort(d)
+            cands = [int(j) for j in order
+                     if d[j] <= pg_cfg.proximity_radius and j != k - 1
+                     and not self.graph.has_edge(k, j)]
+            cands = cands[: pg_cfg.max_proximity_candidates]
+        C = pg_cfg.max_proximity_candidates
+        T21_prev = (Tcw @ np.linalg.inv(self.store.poses_cw[k - 1])
+                    if k > 0 else np.eye(4, dtype=np.float32))
+        # ONE host->device transfer for every scalar the program needs
+        meta = np.zeros((2 + C + 16,), np.float32)
+        meta[0] = k
+        meta[1] = max(k - 1, 0)
+        meta[2:2 + len(cands)] = cands
+        meta[2 + C:] = T21_prev.astype(np.float32).ravel()
+
+        D, X, V, B = self._bank
+        if bow_on:
+            words, idf = self._bow_dev
+        else:
+            words = idf = jnp.zeros((1,), jnp.float32)
+        D, X, V, B, self._key, blob = self._kf_fused[bow_on](
+            D, X, V, B, f, meta, words, idf, self._key,
+        )
+        self._bank = (D, X, V, B)
+        blob = np.asarray(blob)   # the ONE per-keyframe fetch
+        off = N * (nd + 8)
+        ps = blob[:off].reshape(N, nd + 8)
+        ext = blob[off:off + 2 * N].reshape(2, N)
+        off += 2 * N
+        ver = blob[off:off + C * 19].reshape(C, 19)
+        off += C * 19
+        vec = scores = None
+        if bow_on:
+            Vw = B.shape[1]   # actual vocab width (a loaded vocabulary may
+                              # differ from LoopConfig.vocab_size)
+            vec = blob[off:off + Vw]
+            scores = blob[off + Vw:]
+
+        store_k = self.store.add_packed(timestamp, ps, nd, binary_desc, Tcw)
         assert store_k == k
-        Twc = np.linalg.inv(Tcw)
-        vk = self.graph.add_vertex(Twc)
+        vk = self.graph.add_vertex(np.linalg.inv(Tcw))
         assert vk == k
         self.kfs_since_loop += 1
 
@@ -143,80 +302,50 @@ class SlamSystem:
             self.graph.add_odometry_edge(k, k - 1)
             connections.add(k - 1)
 
-        # proximity edges (createLocalEdges), batched: all candidates are
-        # matched + RANSAC-verified in one vmapped device call
-        pg_cfg = self.cfg.pose_graph
-        cands = [
-            j for j in self.store.nearest(k, pg_cfg.proximity_radius,
-                                          pg_cfg.max_proximity_candidates)
-            if not self.graph.has_edge(k, j)
-        ]
-        if cands:
-            C = pg_cfg.max_proximity_candidates
-            idx = np.zeros((C,), np.int32)
-            idx[: len(cands)] = cands
-            descs = jnp.asarray(self.store.desc[idx])
-            xyzs = jnp.asarray(self.store.xyz[idx])
-            valids = jnp.asarray(self.store.obs_valid[idx])
-            # padding slots point at candidate 0 with their results ignored
-            T_b, ninl_b, ok_b, nm_b = self._verify_batch(
-                descs, xyzs, valids,
-                jnp.asarray(self.store.desc[k]),
-                jnp.asarray(self.store.xyz[k]),
-                jnp.asarray(self.store.obs_valid[k]),
-                self._next_key(),
-            )
-            T_b, ninl_b, ok_b, nm_b = jax.device_get((T_b, ninl_b, ok_b, nm_b))
-            for c, j in enumerate(cands):
-                if not ok_b[c]:
-                    continue
-                if nm_b[c] < pg_cfg.proximity_min_matches:
-                    continue
-                if ninl_b[c] < pg_cfg.proximity_min_matches:
-                    continue
-                # RansacSE3(F1=j, F2=k) yields T with p_k = T p_j = T_{k<-j};
-                # edge (a=k, b=j) needs Z = T_{a<-b} in Twc-vertex convention:
-                # Z = X_k^-1 X_j = Tcw_k Twc_j = T_{k<-j}. Matches the
-                # reference wiring (Solver/PoseGraph.cpp:147-153).
-                self.graph.add_edge(k, j, np.asarray(T_b[c]))
-                connections.add(j)
-                self.loop_detector.connect(k, j)
+        # proximity edges (createLocalEdges)
+        T_b = ver[:, :16].reshape(-1, 4, 4)
+        ninl_b = ver[:, 16].astype(np.int32)
+        ok_b = ver[:, 17] > 0.5
+        nm_b = ver[:, 18].astype(np.int32)
+        for c, j in enumerate(cands):
+            if not ok_b[c]:
+                continue
+            if nm_b[c] < pg_cfg.proximity_min_matches:
+                continue
+            if ninl_b[c] < pg_cfg.proximity_min_matches:
+                continue
+            # RansacSE3(F1=j, F2=k) yields T with p_k = T p_j = T_{k<-j};
+            # edge (a=k, b=j) needs Z = T_{a<-b} in Twc-vertex convention:
+            # Z = X_k^-1 X_j = Tcw_k Twc_j = T_{k<-j}. Matches the
+            # reference wiring (Solver/PoseGraph.cpp:147-153).
+            self.graph.add_edge(k, j, np.asarray(T_b[c]))
+            connections.add(j)
+            self.loop_detector.connect(k, j)
 
-        binary_desc = np.asarray(f.desc).dtype == np.uint32
+        # BoW registration: pre-training the host path accumulates
+        # descriptors (already fetched into the store — no extra device
+        # reads); once the codebook exists, the fused program quantized the
+        # vector on device and `vec` just mirrors it into the host table
         if binary_desc:
-            self.loop_detector.add(np.asarray(f.desc),
-                                   np.asarray(f.obs_valid), connections)
+            if vec is not None:
+                self.loop_detector.add_precomputed(vec, connections)
+            else:
+                self.loop_detector.add(self.store.desc[k],
+                                       self.store.obs_valid[k], connections)
+                if self.loop_detector.words is not None:
+                    # codebook just trained: push device copies + backfill
+                    # the device BoW bank with the host table
+                    self._bow_dev = (jnp.asarray(self.loop_detector.words),
+                                     jnp.asarray(self.loop_detector.idf))
+                    self._bank = (D, X, V,
+                                  jnp.asarray(self.loop_detector.bow_db))
 
-        # landmark-track extension (Landmark::addObservation analog): match
-        # the previous keyframe's keypoints into this one
+        # landmark-track extension (Landmark::addObservation analog),
+        # already computed on device by the fused program
         match_idx = match_valid = None
         if k > 0:
-            dp, xp, vp = self.store.features_of(k - 1)
-            m = match_descriptors(
-                jnp.asarray(dp), jnp.asarray(vp),
-                jnp.asarray(self.store.desc[k]),
-                jnp.asarray(self.store.obs_valid[k]),
-                self.cfg.matcher.nn_ratio,
-            )
-            match_idx = np.asarray(m.idx2)
-            match_valid = np.asarray(m.valid)
-            # geometric gate on track extension: the relative KF pose is
-            # known, so a correct association must map the old 3-D point
-            # onto the new one (rejects descriptor aliasing). The metric
-            # gate alone admits BA-poisoning associations (0.10 m at z=2 m
-            # is a 10 px reprojection error for fx=200), so a pixel gate
-            # on the predicted reprojection is applied as well.
-            T21 = Tcw @ np.linalg.inv(self.store.poses_cw[k - 1])
-            pred = xp @ T21[:3, :3].T + T21[:3, 3]
-            err = np.linalg.norm(pred - self.store.xyz[k][match_idx], axis=-1)
-            z_pred = np.maximum(pred[:, 2], 1e-6)
-            u_pred = self.cam.fx * pred[:, 0] / z_pred + self.cam.cx
-            v_pred = self.cam.fy * pred[:, 1] / z_pred + self.cam.cy
-            uv_cur = self.store.uv[k][match_idx]
-            err_px = np.hypot(u_pred - uv_cur[:, 0], v_pred - uv_cur[:, 1])
-            match_valid = (match_valid & (err < 0.10)
-                           & (err_px < self.cfg.track_gate_px)
-                           & (pred[:, 2] > 0.05))
+            match_idx = ext[0].astype(np.int32)
+            match_valid = ext[1] > 0.5
         # landmark tracks only accept depth-edge-free observations (depth at
         # occlusion-boundary corners flips between fore/background across
         # views, biasing BA)
@@ -231,7 +360,7 @@ class SlamSystem:
         # descriptors; float (SIFT/SURF-class) runs are odometry+proximity
         loop_found = False
         if binary_desc and self.kfs_since_loop >= self.cfg.loop.min_kfs_since_loop:
-            if self._detect_and_close_loop(k):
+            if self._detect_and_close_loop(k, f, scores):
                 self.kfs_since_loop = 0
                 loop_found = True
 
@@ -259,7 +388,7 @@ class SlamSystem:
         ld = self.loop_detector
         if ld.words is None or ld.count < 1:
             return False, None
-        if np.asarray(f.desc).dtype != np.uint32:
+        if f.desc.dtype != jnp.uint32:
             return False, None   # float-descriptor runs have no BoW database
         vec = bow_vector(f.desc, f.obs_valid, ld.words, ld.idf)
         scores = np.asarray(
@@ -270,17 +399,7 @@ class SlamSystem:
 
         # batched match + RANSAC, reusing the proximity-verification program
         # (same padded candidate shape -> no new compile)
-        C = self.cfg.pose_graph.max_proximity_candidates
-        idx = np.zeros((C,), np.int32)
-        idx[: len(cands)] = cands
-        T_b, ninl_b, ok_b, _nm_b = self._verify_batch(
-            jnp.asarray(self.store.desc[idx]),
-            jnp.asarray(self.store.xyz[idx]),
-            jnp.asarray(self.store.obs_valid[idx]),
-            f.desc, f.xyz, f.obs_valid,
-            self._next_key(),
-        )
-        T_b, ninl_b, ok_b = jax.device_get((T_b, ninl_b, ok_b))
+        T_b, ninl_b, ok_b, _nm_b = self._verify_candidates(cands, f)
         best, best_inl = -1, self.cfg.reloc_min_inliers - 1
         for c in range(len(cands)):
             if ok_b[c] and int(ninl_b[c]) > best_inl:
@@ -294,25 +413,37 @@ class SlamSystem:
         Tcw = np.asarray(T_b[best]) @ self.store.poses_cw[j]
         return True, Tcw.astype(np.float32)
 
-    def _detect_and_close_loop(self, k: int) -> bool:
+    def _detect_and_close_loop(self, k: int, f: FrameFeatures,
+                               scores=None) -> bool:
+        """BoW loop candidates, verified in ONE batched device call (the
+        sequential per-candidate match+RANSAC loop costs C x 2+ dispatch
+        round trips through the TPU tunnel — same batching as the proximity
+        path, reusing the identical padded program shape). All verified
+        candidates become edges (Solver/PoseGraph.cpp:260-284 adds an edge
+        per verified candidate), then one optimize."""
         th = max(
             int(self.tracker.stats.mean_inliers * self.cfg.loop.match_fraction),
             self.cfg.ransac.min_inliers,
         )
-        cands = self.loop_detector.candidates(k)
+        cands = [j for j in self.loop_detector.candidates(k, scores)
+                 if not self.graph.has_edge(k, j)]
         self.last_loop_candidates = len(cands)
-        for j in cands:
-            if self.graph.has_edge(k, j):
+        if not cands:
+            return False
+        cands = cands[: self.cfg.pose_graph.max_proximity_candidates]
+        # F1 = candidate j, F2 = current KF k -> T_b[c] = T_{k<-j}
+        T_b, ninl_b, ok_b, nm_b = self._verify_candidates(cands, f)
+        closed = False
+        for c, j in enumerate(cands):
+            if not ok_b[c] or nm_b[c] < th or ninl_b[c] < th:
                 continue
-            ok, T_jk, _ = self._match_and_verify(j, k, th)
-            if not ok:
-                continue
-            self.graph.add_edge(k, j, T_jk)
+            self.graph.add_edge(k, j, np.asarray(T_b[c]))
             self.loop_detector.connect(k, j)
+            closed = True
+        if closed:
             self._optimize(self.cfg.pose_graph.opt_iters_loop)
             self.loops_closed += 1
-            return True
-        return False
+        return closed
 
     # ------------------------------------------------------------------
     def _local_ba(self, k: int):

@@ -89,20 +89,46 @@ class Tracker:
         self._extractor = Extractor(cam, cfg.extractor, detector=cfg.detector,
                                     adaptive=cfg.adaptive)
 
-        # fused VO estimate: match + gather + RANSAC in ONE device program —
-        # the host-orchestrated path would otherwise pay 3-4 dispatch round
-        # trips per frame (expensive through the TPU tunnel)
+        # fused per-frame program: feature build + match + gather + RANSAC in
+        # ONE device dispatch, all host-consumed scalars in ONE (19,) packed
+        # array — each extra dispatch or fetch pays a ~10 ms RPC round trip
+        # over the remote-TPU tunnel, so per-frame work is exactly one
+        # dispatch + one small fetch
         matcher_cfg, ransac_cfg = cfg.matcher, cfg.ransac
 
         def _fused(ref: FrameFeatures, cur: FrameFeatures, key):
             m = match_frames(ref, cur, matcher_cfg.nn_ratio)
             p1, p2, w, valid = gather_matched_points(ref, cur, m)
             res = ransac_se3(p1, p2, w, valid, key, ransac_cfg)
+            packed = jnp.concatenate([
+                res.T21.reshape(16),
+                jnp.stack([res.success.astype(jnp.float32),
+                           res.rmse.astype(jnp.float32),
+                           res.num_inliers.astype(jnp.float32)]),
+            ])
             # matched surface covariances for the GICP stage (depth-image
             # patches; cheaper + truer than sparse-set kNN)
-            return res, p1, p2, ref.surf_cov, cur.surf_cov[m.idx2]
+            return res, p1, p2, ref.surf_cov, cur.surf_cov[m.idx2], packed
 
         self._fused_estimate = jax.jit(_fused)
+
+        def _step(ref: FrameFeatures, gray, depth, key, threshold):
+            # the PRNG key evolves ON DEVICE (a host-side split would be an
+            # extra dispatch per frame) and `threshold` is a cached device
+            # scalar — with every argument device-resident, the per-frame
+            # cost is exactly one dispatch + one 20-float fetch
+            key, sub = jax.random.split(key)
+            cur = self._extractor.build(gray, depth, threshold)
+            res, p1, p2, C1, C2, packed = _fused(ref, cur, sub)
+            # + current valid-keypoint count (ADAPTIVE feedback reads it
+            # from the same packed fetch)
+            packed = jnp.concatenate(
+                [packed, jnp.sum(cur.valid).astype(jnp.float32)[None]])
+            return key, cur, res, p1, p2, C1, C2, packed
+
+        self._step = jax.jit(_step)
+        self._thr_dev = None
+        self._thr_val = None
 
         # keyframes: host registry (features + poses); device-side stores for
         # the backend live in mapping/keyframes.py
@@ -124,23 +150,24 @@ class Tracker:
         self._key, sub = jax.random.split(self._key)
         return sub
 
-    def _estimate(self, ref: FrameFeatures, cur: FrameFeatures) -> RansacResult:
-        res, p1, p2, C1, C2 = self._fused_estimate(ref, cur, self._next_key())
-        return res, (p1, p2, C1, C2)
+    def _estimate(self, ref: FrameFeatures, cur: FrameFeatures):
+        res, p1, p2, C1, C2, packed = self._fused_estimate(
+            ref, cur, self._next_key())
+        return res, (p1, p2, C1, C2), packed
 
     # ------------------------------------------------------------------
     def track(self, timestamp: float, gray, depth) -> np.ndarray:
         """Process one frame; returns Tcw (Tracking::track,
         System/Tracking.cpp:39-75)."""
-        f = self._extractor(gray, depth)
         if self.cfg.use_dense_icp:
             self._cur_depth = jnp.asarray(depth)
 
         if self.state is TrackerState.NOT_INITIALIZED:
+            f = self._extractor(gray, depth)
             Tcw = np.eye(4, dtype=np.float32)
             self._initialize(timestamp, f, Tcw)
         else:
-            Tcw = self._visual_odometry(timestamp, f)
+            Tcw, f = self._visual_odometry(timestamp, gray, depth)
             if self.state is TrackerState.LOST and self.relocalize_fn is not None:
                 ok, Tcw_r = self.relocalize_fn(f)
                 if ok:
@@ -185,26 +212,35 @@ class Tracker:
         self._create_keyframe(timestamp, f, Tcw)
         self.state = TrackerState.OK
 
-    def _visual_odometry(self, timestamp: float, f: FrameFeatures) -> np.ndarray:
+    def _visual_odometry(self, timestamp: float, gray, depth):
         """Frame-to-frame VO with second-reference retry and GICP refinement
-        (System/Tracking.cpp:121-163)."""
-        (res, pts), ref_Tcw = self._estimate(self.ref_frame, f), self.ref_Tcw
+        (System/Tracking.cpp:121-163). Feature build + match + RANSAC is ONE
+        device dispatch; all host-consumed scalars come back in ONE fetch."""
+        if self._thr_val != self._extractor.threshold:
+            self._thr_val = self._extractor.threshold
+            self._thr_dev = jnp.float32(self._thr_val)
+        self._key, f, res, p1, p2, C1, C2, packed = self._step(
+            self.ref_frame, jnp.asarray(gray), jnp.asarray(depth),
+            self._key, self._thr_dev)
+        pts, ref_Tcw = (p1, p2, C1, C2), self.ref_Tcw
         used_ref2 = False
-        # one bulk device->host read for all per-frame scalars (separate
-        # bool()/float()/int() reads each pay a tunnel round trip)
-        success, rmse, T21_host, n_inl = jax.device_get(
-            (res.success, res.rmse, res.T21, res.num_inliers)
-        )
-        success = bool(success)
+        # ONE device->host read for all per-frame scalars (a tuple
+        # device_get still fetches each array in its own tunnel RPC)
+        pk = np.asarray(packed)
+        T21_host, success, rmse, n_inl = (
+            pk[:16].reshape(4, 4), bool(pk[16] > 0.5), float(pk[17]),
+            int(pk[18]))
+        self._extractor.adapt(int(pk[19]))
 
         if not success and self.ref2_frame is not None:
             # anti-drift hover heuristic (System/Tracking.cpp:136-143)
-            (res, pts), ref_Tcw = self._estimate(self.ref2_frame, f), self.ref2_Tcw
+            (res, pts, packed), ref_Tcw = (
+                self._estimate(self.ref2_frame, f), self.ref2_Tcw)
             used_ref2 = True
-            success, rmse, T21_host, n_inl = jax.device_get(
-                (res.success, res.rmse, res.T21, res.num_inliers)
-            )
-            success = bool(success)
+            pk = np.asarray(packed)
+            T21_host, success, rmse, n_inl = (
+                pk[:16].reshape(4, 4), bool(pk[16] > 0.5), float(pk[17]),
+                int(pk[18]))
 
         if success and self.cfg.use_icp_refinement and float(rmse) >= self.cfg.icp.rmse_trigger:
             # GICP refinement on the matched sets (System/Tracking.cpp:145-151).
@@ -262,7 +298,7 @@ class Tracker:
         self.ref2_frame, self.ref2_Tcw = self.ref_frame, self.ref_Tcw
         self.ref_frame, self.ref_Tcw = f, Tcw.copy()
         self.ref_depth = self._cur_depth
-        return Tcw
+        return Tcw, f
 
     # ------------------------------------------------------------------
     def _need_keyframe(self, Tcw: np.ndarray) -> bool:
