@@ -66,7 +66,11 @@ def render_frame(cam: Camera, Twc: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarra
     """Ray-cast one RGB-D frame of the box room.
 
     Args:
-      cam: static camera intrinsics (no distortion).
+      cam: static camera intrinsics. A camera WITH distortion coefficients
+        is rendered through its radial-tangential model (each distorted
+        pixel's ray goes through the undistorted normalized coords —
+        physically what a real lens does), so fr1/fr2-class undistortion
+        chains (Core/Frame.cpp:251-281) are exercisable end-to-end.
       Twc: camera-to-world pose (4, 4).
 
     Returns:
@@ -78,9 +82,14 @@ def render_frame(cam: Camera, Twc: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarra
         indexing="ij",
     )
     # camera-frame ray directions with unit z so that ray parameter == z-depth
-    d_cam = jnp.stack(
-        [(uu - cam.cx) / cam.fx, (vv - cam.cy) / cam.fy, jnp.ones_like(uu)], axis=-1
+    xn = jnp.stack(
+        [(uu - cam.cx) / cam.fx, (vv - cam.cy) / cam.fy], axis=-1
     )
+    if cam.has_distortion:
+        from rgbdslam_tpu.geometry.camera import undistort_normalized
+
+        xn = undistort_normalized(cam, xn)
+    d_cam = jnp.concatenate([xn, jnp.ones_like(uu)[..., None]], axis=-1)
     R = Twc[:3, :3]
     o = Twc[:3, 3]
     d_world = d_cam @ R.T  # (H, W, 3)

@@ -105,21 +105,20 @@ def insert_cloud(
     l_hit = _logit(hit_p)
     l_miss = _logit(miss_p)
 
+    # octomap's insertPointCloud set semantics (octomap updateNode over
+    # KeySet free_cells / occupied_cells; reference usage
+    # Drawer/OctomapDrawer.cpp:38-79): per SCAN each traversed voxel gets
+    # exactly ONE miss update and each endpoint voxel ONE hit update, with
+    # occupied winning over free. Scatter-MAX visited/occupied flags instead
+    # of scatter-ADD, then apply each update once — exact octomap semantics
+    # up to ray-sampling coverage (n_steps bounds voxels visited per ray).
     miss_w = (ray_inb & valid[None, :] & ~ray_is_end).astype(jnp.float32)
-    # dedupe repeated samples within one voxel per ray: scatter-add of
-    # log-odds per sample approximates octomap's once-per-voxel update with a
-    # step-resolution-dependent weight; normalize by expected samples/voxel
-    samples_per_voxel = jnp.maximum(
-        (jnp.linalg.norm(pts - sensor_origin, axis=-1) / res) / n_steps, 1e-3
-    )  # voxels per sample^-1
-    miss_scale = jnp.minimum(1.0 / jnp.maximum(1.0 / samples_per_voxel, 1.0), 1.0)
-    lo = lo.at[ray_flat.reshape(-1)].add(
-        (miss_w * (l_miss * miss_scale[None, :])).reshape(-1)
-    )
-
+    visited = jnp.zeros_like(lo).at[ray_flat.reshape(-1)].max(
+        miss_w.reshape(-1))
     hit_w = (end_inb & valid).astype(jnp.float32)
-    lo = lo.at[end_flat].add(hit_w * l_hit)
+    occupied = jnp.zeros_like(lo).at[end_flat].max(hit_w)
 
+    lo = lo + l_miss * visited * (1.0 - occupied) + l_hit * occupied
     lo = jnp.clip(lo, _logit(clamp_min_p), _logit(clamp_max_p))
 
     cs = grid.color_sum.reshape(-1).at[end_flat].add(hit_w * world_cloud.intensity)

@@ -142,3 +142,45 @@ def test_system_global_ba():
     rmse, _ = ate_rmse(ts_e, poses, ds.timestamps, ds.poses_twc)
     assert system.loops_closed >= 1
     assert rmse < 0.06, f"global-BA full-SLAM ATE {rmse:.4f} m"
+
+
+def test_distorted_camera_end_to_end():
+    """Full system through a TUM-fr1-class distorted camera (VERDICT round 1,
+    weak #6): the renderer casts rays through the radial-tangential model and
+    the frontend undistorts keypoints before unprojection
+    (Core/Frame.cpp:251-281) — ATE must stay in the undistorted run's class.
+    fr1's coefficients are strong (k1=0.26, k2=-0.95): an unhandled
+    distortion chain fails this loudly."""
+    cam_d = Camera(258.653, 258.235, 159.322, 127.657,
+                   k1=0.262383, k2=-0.953104, k3=1.163314,
+                   p1=-0.005358, p2=0.002628, width=320, height=240)
+    cam_u = Camera(258.653, 258.235, 159.322, 127.657,
+                   width=320, height=240)
+    assert cam_d.has_distortion and not cam_u.has_distortion
+
+    cfg = SlamConfig(
+        extractor=ExtractorConfig(num_features=1024, num_levels=3,
+                                  cell_size=8, fast_threshold=15.0),
+        loop=LoopConfig(id_interval=12, min_kfs_since_loop=10,
+                        vocab_size=256),
+    )
+
+    def run(cam):
+        ds = SyntheticDataset(n_frames=48, cam=cam, trajectory="orbit")
+        system = SlamSystem(cam, cfg, seed=0)
+        for i in range(len(ds)):
+            ts, gray, depth = ds.grab(i)
+            system.track(ts, gray, depth)
+        system.finish()
+        ts_arr, poses = system.camera_trajectory()
+        rmse, _ = ate_rmse(ts_arr, poses, ds.timestamps, ds.poses_twc)
+        return rmse, system
+
+    rmse_u, sys_u = run(cam_u)
+    rmse_d, sys_d = run(cam_d)
+    assert sys_d.tracker.stats.failures <= sys_u.tracker.stats.failures + 3
+    assert rmse_u < 0.15, f"undistorted ATE {rmse_u}"
+    # parity: the distorted chain may cost a little accuracy at the frame
+    # edges (where fr1 distortion is several pixels) but must stay in class
+    assert rmse_d < max(2.5 * rmse_u, 0.12), (
+        f"distorted ATE {rmse_d} vs undistorted {rmse_u}")
