@@ -55,6 +55,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--num-features", type=int, default=1024)
     p.add_argument("--cell-size", type=int, default=16)
     p.add_argument("--fast-threshold", type=float, default=20.0)
+    p.add_argument("--vocabulary", default=None,
+                   help="pre-trained loop-closure vocabulary (.npz from "
+                        "rgbdslam_tpu.loop.vocabulary; the reference loads "
+                        "voc_TUM_FAST_BRIEF.yml.gz at startup, main.cpp:32)")
     p.add_argument("--loop-interval", type=int, default=100,
                    help="min keyframe-id gap for loop candidates")
     p.add_argument("--save-map", action="store_true")
@@ -138,6 +142,8 @@ def main(argv=None) -> int:
     else:
         system = SlamSystem(ds.cam, cfg)
         tracker = system.tracker
+        if args.vocabulary:
+            system.loop_detector.load_vocabulary(args.vocabulary)
 
     timer = StageTimer()
     n = min(len(ds), args.frames)

@@ -25,6 +25,26 @@ def load_vocabulary(path: str):
     return jnp.asarray(d["words"]), jnp.asarray(d["idf"])
 
 
+def collect_descriptors(dataset, cam, extractor_cfg, frame_stride: int = 5,
+                        max_frames: int = 40):
+    """Run the extractor over a dataset; returns host (desc, valid)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rgbdslam_tpu.frontend.frame import build_frame_features
+
+    descs, valids = [], []
+    n = min(len(dataset), max_frames * frame_stride)
+    for i in range(0, n, frame_stride):
+        ts, gray, depth = dataset.grab(i)
+        f = build_frame_features(cam, jnp.asarray(gray), jnp.asarray(depth),
+                                 extractor_cfg)
+        d, v = jax.device_get((f.desc, f.valid))
+        descs.append(d)
+        valids.append(v)
+    return np.concatenate(descs), np.concatenate(valids)
+
+
 def train_vocabulary_from_dataset(
     dataset,
     cam,
@@ -37,23 +57,12 @@ def train_vocabulary_from_dataset(
 ) -> tuple:
     """Run the extractor over a dataset and k-majority-train a codebook
     (the DBoW3 offline-vocabulary workflow)."""
-    import jax
     import jax.numpy as jnp
 
-    from rgbdslam_tpu.frontend.frame import build_frame_features
     from rgbdslam_tpu.loop.codebook import train_codebook
 
-    descs, valids = [], []
-    n = min(len(dataset), max_frames * frame_stride)
-    for i in range(0, n, frame_stride):
-        ts, gray, depth = dataset.grab(i)
-        f = build_frame_features(cam, jnp.asarray(gray), jnp.asarray(depth),
-                                 extractor_cfg)
-        d, v = jax.device_get((f.desc, f.valid))
-        descs.append(d)
-        valids.append(v)
-    desc = np.concatenate(descs)
-    valid = np.concatenate(valids)
+    desc, valid = collect_descriptors(dataset, cam, extractor_cfg,
+                                      frame_stride, max_frames)
     return train_codebook(jnp.asarray(desc), jnp.asarray(valid), vocab_size, iters)
 
 
@@ -62,7 +71,10 @@ def main(argv=None) -> int:
     import argparse
 
     ap = argparse.ArgumentParser(description="train a loop-closure vocabulary")
-    ap.add_argument("--dataset", required=True)
+    ap.add_argument("--dataset", required=True, nargs="+",
+                    help="one or more datasets; descriptors are pooled "
+                         "(synthetic specs accept :trajectory:seed:noise "
+                         "suffixes, e.g. synthetic:orbit:3:noise)")
     ap.add_argument("--kind", default="TUM")
     ap.add_argument("--out", required=True)
     ap.add_argument("--vocab-size", type=int, default=1024)
@@ -76,19 +88,37 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", "cpu")
 
+    import jax.numpy as jnp
+
     from rgbdslam_tpu.config import ExtractorConfig
     from rgbdslam_tpu.io.datasets import open_dataset
+    from rgbdslam_tpu.loop.codebook import train_codebook
 
-    if args.dataset.startswith("synthetic"):
-        ds = open_dataset(args.dataset, n_frames=args.frames * args.stride)
-    else:
-        ds = open_dataset(args.dataset, kind=args.kind)
-    words, idf = train_vocabulary_from_dataset(
-        ds, ds.cam, ExtractorConfig(), vocab_size=args.vocab_size,
-        frame_stride=args.stride, max_frames=args.frames,
-    )
+    descs, valids = [], []
+    for spec in args.dataset:
+        if spec.startswith("synthetic"):
+            parts = spec.split(":")
+            traj = parts[1] if len(parts) > 1 else "orbit"
+            seed = int(parts[2]) if len(parts) > 2 else 0
+            noise = len(parts) > 3 and parts[3] == "noise"
+            from rgbdslam_tpu.io.synthetic import SyntheticDataset
+
+            ds = SyntheticDataset(n_frames=args.frames * args.stride,
+                                  trajectory=traj, seed=seed, noise=noise)
+        else:
+            ds = open_dataset(spec, kind=args.kind)
+        d, v = collect_descriptors(ds, ds.cam, ExtractorConfig(),
+                                   args.stride, args.frames)
+        descs.append(d)
+        valids.append(v)
+        print(f"{spec}: {int(v.sum())} descriptors")
+    desc = np.concatenate(descs)
+    valid = np.concatenate(valids)
+    words, idf = train_codebook(jnp.asarray(desc), jnp.asarray(valid),
+                                args.vocab_size, 8)
     save_vocabulary(args.out, words, idf)
-    print(f"saved {args.vocab_size}-word vocabulary to {args.out}")
+    print(f"saved {args.vocab_size}-word vocabulary to {args.out} "
+          f"({int(valid.sum())} training descriptors)")
     return 0
 
 
