@@ -116,6 +116,13 @@ class IcpConfig:
     min_matches: int = 20
     rmse_trigger: float = 0.8
     gicp_epsilon: float = 1e-3        # covariance regularizer for plane-to-plane weighting
+    reassociate: bool = False         # re-pair nearest neighbors within the
+                                      # matched sets each GN round (PCL GICP
+                                      # re-finds correspondences per
+                                      # iteration, Solver/Gicp.cpp:54-66);
+                                      # off = keep the descriptor pairing
+                                      # (fine with a RANSAC warm start, and
+                                      # one N^2 distance matrix cheaper)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -135,6 +135,18 @@ class Extractor:
 
     def __call__(self, gray, depth) -> FrameFeatures:
         f = self.build(gray, depth, self.threshold)
-        if self.adaptive:
+        if not self.adaptive:
+            return f
+        # within-frame retry loop (<=5 detections,
+        # VideoDynamicAdaptedFeatureDetector.cpp:24-44): re-detect at the
+        # adjusted threshold until the count enters the band. Only the
+        # too-few direction re-runs — the fixed N-slot budget already caps
+        # over-detection at the strongest N.
+        for _ in range(5):
+            before = self.threshold
             self.adapt(int(f.valid.sum()))
+            if int(f.valid.sum()) >= self.target_min or \
+                    self.threshold >= before - 1e-9:
+                break
+            f = self.build(gray, depth, self.threshold)
         return f

@@ -92,6 +92,18 @@ def build_frame_features(
     if use_orientation:
         descriptor = "orb"
     thr = (cfg.fast_threshold if fast_threshold is None else fast_threshold)
+    # The final response gate scales with the (possibly adapted) FAST
+    # threshold: both measure image contrast (FAST linearly, Shi-Tomasi
+    # quadratically), and an absolute floor would defeat the ADAPTIVE
+    # stack's whole point on low-contrast scenes — the reference's adaptive
+    # detectors are plain FAST with NO response gate
+    # (Features/DetectorAdjuster.cpp:23-39). At the default threshold the
+    # factor is exactly 1 (reference gate semantics,
+    # Features/SVOextractor.cpp:128).
+    min_response = cfg.min_response
+    if response == "fast_st" and use_fast_gate:
+        min_response = cfg.min_response * (
+            jnp.asarray(thr, jnp.float32) / cfg.fast_threshold) ** 2
 
     if cfg.scale_factor != 2.0:
         # ORB-SLAM2-class fractional scale space: x`scale_factor` pyramid,
@@ -99,7 +111,7 @@ def build_frame_features(
         # level resolution, coords scaled back to level 0
         # (Features/ORBextractor.cpp:347-419, 773-797).
         kp, desc = _multiscale_detect_describe(
-            gray, cfg, thr, use_fast_gate, descriptor, response
+            gray, cfg, thr, min_response, use_fast_gate, descriptor, response
         )
     else:
         pyramid = image_ops.build_pyramid(gray, cfg.num_levels)
@@ -108,7 +120,7 @@ def build_frame_features(
             num_features=cfg.num_features,
             cell_size=cfg.cell_size,
             fast_threshold=thr,
-            min_response=cfg.min_response,
+            min_response=min_response,
             min_border=cfg.min_border,
             use_fast_gate=use_fast_gate,
             subpixel=cfg.subpixel,
@@ -151,7 +163,7 @@ def _describe(img_blurred, img_raw, uv, cfg: ExtractorConfig,
     raise ValueError(f"unknown descriptor {descriptor!r}")
 
 
-def _multiscale_detect_describe(gray, cfg: ExtractorConfig, thr,
+def _multiscale_detect_describe(gray, cfg: ExtractorConfig, thr, min_response,
                                 use_fast_gate: bool, descriptor: str,
                                 response: str):
     """x`cfg.scale_factor` pyramid with per-level quotas: detect and describe
@@ -172,7 +184,7 @@ def _multiscale_detect_describe(gray, cfg: ExtractorConfig, thr,
             continue
         kp_l = fast_ops.detect_keypoints_level(
             img_l, quotas[lvl], cfg.cell_size, thr,
-            min_response=cfg.min_response,
+            min_response=min_response,
             min_border=max(cfg.min_border, cfg.brief_patch_size // 2 + 1),
             use_fast_gate=use_fast_gate,
             response=response,

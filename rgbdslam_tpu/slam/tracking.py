@@ -216,21 +216,33 @@ class Tracker:
         """Frame-to-frame VO with second-reference retry and GICP refinement
         (System/Tracking.cpp:121-163). Feature build + match + RANSAC is ONE
         device dispatch; all host-consumed scalars come back in ONE fetch."""
-        if self._thr_val != self._extractor.threshold:
-            self._thr_val = self._extractor.threshold
-            self._thr_dev = jnp.float32(self._thr_val)
-        self._key, f, res, p1, p2, C1, C2, packed = self._step(
-            self.ref_frame, jnp.asarray(gray), jnp.asarray(depth),
-            self._key, self._thr_dev)
+        ex = self._extractor
+        for attempt in range(5):   # VideoDynamicAdaptedFeatureDetector's
+            # <=5 within-frame re-detections (VideoDynamicAdapted-
+            # FeatureDetector.cpp:24-44). With the fixed N-slot budget,
+            # over-detection is harmless (top-N caps it), so only the
+            # under-detection direction re-runs — a scene cut re-detects at
+            # a lowered threshold in the SAME frame instead of under-
+            # tracking until the cross-frame feedback converges.
+            if self._thr_val != ex.threshold:
+                self._thr_val = ex.threshold
+                self._thr_dev = jnp.float32(self._thr_val)
+            self._key, f, res, p1, p2, C1, C2, packed = self._step(
+                self.ref_frame, jnp.asarray(gray), jnp.asarray(depth),
+                self._key, self._thr_dev)
+            # ONE device->host read for all per-frame scalars (a tuple
+            # device_get still fetches each array in its own tunnel RPC)
+            pk = np.asarray(packed)
+            n_valid = int(pk[19])
+            ex.adapt(n_valid)
+            if not (ex.adaptive and n_valid < ex.target_min
+                    and ex.threshold < self._thr_val - 1e-9):
+                break
         pts, ref_Tcw = (p1, p2, C1, C2), self.ref_Tcw
         used_ref2 = False
-        # ONE device->host read for all per-frame scalars (a tuple
-        # device_get still fetches each array in its own tunnel RPC)
-        pk = np.asarray(packed)
         T21_host, success, rmse, n_inl = (
             pk[:16].reshape(4, 4), bool(pk[16] > 0.5), float(pk[17]),
             int(pk[18]))
-        self._extractor.adapt(int(pk[19]))
 
         if not success and self.ref2_frame is not None:
             # anti-drift hover heuristic (System/Tracking.cpp:136-143)

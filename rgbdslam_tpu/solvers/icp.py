@@ -5,11 +5,15 @@ matched-keypoint 3D sets (Solver/Gicp.cpp:37-66): warm-started from the RANSAC
 transform, it refines T21 so that R p1 + t ~= p2.
 
 Re-design notes:
-- PCL GICP re-associates nearest neighbors per iteration via kd-tree; with a
-  warm start and gated correspondences (max_correspondence_dist,
-  Solver/Gicp.cpp:13 / System/Tracking.cpp:148) the given keypoint matches ARE
-  the associations for all inliers, so we keep the match pairing and apply the
-  distance gate per iteration (trimmed GN) — no trees on device.
+- PCL GICP re-associates nearest neighbors per iteration via kd-tree
+  (Solver/Gicp.cpp:54-66). Default here: with a warm start and gated
+  correspondences (max_correspondence_dist, Solver/Gicp.cpp:13 /
+  System/Tracking.cpp:148) the given keypoint matches ARE the associations
+  for all inliers, so we keep the match pairing and apply the distance gate
+  per iteration (trimmed GN). IcpConfig.reassociate=True restores PCL's
+  per-iteration re-pairing as one dense (N, N) distance contraction — no
+  trees on device — which recovers from wrong descriptor pairings (the
+  rmse >= 0.8 regime that triggers GICP in the first place).
 - Plane-to-plane (GICP) weighting: per-point covariances from the k nearest
   neighbors inside each matched set, regularized as in Segal et al. (eigenvalue
   floor epsilon), combined per-pair as  W = (C2 + R C1 R^T)^{-1}.
@@ -179,9 +183,24 @@ def gicp_refine(
     def body(i, carry):
         T, _ = carry
         R = T[:3, :3]
+        if cfg.reassociate:
+            # PCL GICP re-finds nearest neighbors each iteration
+            # (Solver/Gicp.cpp:54-66): re-pair every source point with its
+            # nearest valid target under the current transform — one (N, N)
+            # distance contraction instead of a kd-tree. Recovers from
+            # wrong descriptor pairings, which is exactly the rmse >= 0.8
+            # regime that triggers GICP.
+            q = p1 @ R.T + T[:3, 3]
+            d2 = jnp.sum((q[:, None, :] - p2[None, :, :]) ** 2, axis=-1)
+            d2 = jnp.where(valid[None, :], d2, jnp.inf)
+            j = jnp.argmin(d2, axis=1)
+            p2_i, C2_i = p2[j], C2[j]
+        else:
+            p2_i, C2_i = p2, C2
         C1r = jnp.einsum("ij,njk,lk->nil", R, C1, R)
-        W = _inv3x3(C1r + C2)
-        T_new, cost, _ = _gn_step(T, p1, p2, W, valid, cfg.max_correspondence_dist)
+        W = _inv3x3(C1r + C2_i)
+        T_new, cost, _ = _gn_step(T, p1, p2_i, W, valid,
+                                  cfg.max_correspondence_dist)
         return (T_new, cost)
 
     T_fin, _ = jax.lax.fori_loop(0, cfg.max_iterations, body, (T_init, jnp.inf))
@@ -191,7 +210,14 @@ def gicp_refine(
     # convergence proxy: final gated correspondence count stays >= min_matches
     R = T_fin[:3, :3]
     q = p1 @ R.T + T_fin[:3, 3]
-    gated = valid & (jnp.linalg.norm(q - p2, axis=-1) < cfg.max_correspondence_dist)
+    if cfg.reassociate:
+        d2 = jnp.sum((q[:, None, :] - p2[None, :, :]) ** 2, axis=-1)
+        d2 = jnp.where(valid[None, :], d2, jnp.inf)
+        p2_fin = p2[jnp.argmin(d2, axis=1)]
+    else:
+        p2_fin = p2
+    gated = valid & (jnp.linalg.norm(q - p2_fin, axis=-1)
+                     < cfg.max_correspondence_dist)
     converged = enough & (jnp.sum(gated) >= cfg.min_matches)
     T_out = jnp.where(converged, T_fin, T_init)
     return T_out, converged, n_valid.astype(jnp.int32)

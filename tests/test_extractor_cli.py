@@ -40,12 +40,34 @@ def test_adaptive_threshold_feedback():
     ex = Extractor(CAM, CFG, adaptive=True, target_min=100000, target_max=200000)
     th0 = ex.threshold
     ex(gray, depth)  # count certainly < target_min
-    assert ex.threshold == pytest.approx(th0 * 0.7)
+    # unreachable target: the within-frame retry loop (<=5 re-detections,
+    # VideoDynamicAdaptedFeatureDetector.cpp:24-44) drives the threshold to
+    # its clamp
+    assert ex.threshold == pytest.approx(max(th0 * 0.7**5, ex.th_min))
 
     ex2 = Extractor(CAM, CFG, adaptive=True, target_min=0, target_max=1)
     th0 = ex2.threshold
     ex2(gray, depth)  # count certainly > target_max
+    # too-many adapts once and does NOT re-detect (the fixed N budget
+    # already caps over-detection at the strongest N)
     assert ex2.threshold == pytest.approx(th0 * 1.3)
+
+
+def test_adaptive_recovers_within_frame_on_scene_change():
+    """A hard scene change (sudden low-contrast frame) must recover the
+    keypoint count within the SAME frame via the within-frame retry loop —
+    not several frames later via cross-frame feedback (VERDICT round 1,
+    missing #6; VideoDynamicAdaptedFeatureDetector.cpp:24-44)."""
+    ds = SyntheticDataset(n_frames=1, cam=CAM)
+    _, gray, depth = ds.grab(0)
+    dim = gray * 0.25   # contrast crush: FAST@15 finds nearly nothing
+
+    ex = Extractor(CAM, CFG, adaptive=True, target_min=60, target_max=120)
+    n_oneshot = int(ex.build(dim, depth, ex.threshold).valid.sum())
+    assert n_oneshot < 30, f"scene not hard enough ({n_oneshot})"
+    f = ex(dim, depth)
+    assert int(f.valid.sum()) >= 60, (
+        f"within-frame retry failed to recover ({int(f.valid.sum())})")
 
 
 def test_adaptive_no_recompile():
