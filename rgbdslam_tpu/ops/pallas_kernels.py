@@ -395,3 +395,468 @@ def detect_score_map(
         interpret=interpret,
     )(img, img, img, thr)
     return out[:h], raw[:h]
+
+
+# ---------------------------------------------------------------------------
+# Fused RANSAC Mahalanobis hypothesis scorer
+# ---------------------------------------------------------------------------
+
+
+def _mahal_kernel(rt_ref, planes_ref, out_ref, *, th: float):
+    """Score one tile of BH hypotheses against all N correspondences.
+
+    rt_ref: (BH, 12) f32 — [R.ravel(9) | t(3)] per hypothesis.
+    planes_ref: (16, N) f32 — rows [p1.x p1.y p1.z | p2.x p2.y p2.z |
+      s1.x s1.y s1.z | s2.x s2.y s2.z | valid | 0 0 0] (sensor-noise
+      covariance diagonals s from the Khoshelham model).
+    out_ref: (BH, 128) f32 — col 0 = inlier count, col 1 = Mahalanobis^2 sum
+      over inliers (the rest is tile padding).
+
+    The XLA plane formulation (solvers/ransac_se3.mahalanobis_sq) is exact
+    but streams ~25 (H, N) f32 intermediates through HBM per call; here every
+    (BH, N) temporary lives in VMEM/registers and only 2 scalars per
+    hypothesis are written out.
+    """
+    rt = rt_ref[...]                      # (BH, 12)
+    P = planes_ref[...]                   # (16, N)
+
+    def row(i):
+        return P[i:i + 1, :]              # (1, N)
+
+    x1, y1, z1 = row(0), row(1), row(2)
+    x2, y2, z2 = row(3), row(4), row(5)
+    s1 = (row(6), row(7), row(8))
+    s2 = (row(9), row(10), row(11))
+    vld = row(12) != 0.0
+
+    Rk = [rt[:, k:k + 1] for k in range(9)]      # each (BH, 1)
+    tx, ty, tz = rt[:, 9:10], rt[:, 10:11], rt[:, 11:12]
+
+    d1 = Rk[0] * x1 + Rk[1] * y1 + Rk[2] * z1 + tx - x2   # (BH, N)
+    d2 = Rk[3] * x1 + Rk[4] * y1 + Rk[5] * z1 + ty - y2
+    d3 = Rk[6] * x1 + Rk[7] * y1 + Rk[8] * z1 + tz - z2
+
+    # C = R diag(s1) R^T + diag(s2): six unique entries as (BH, N) planes
+    def centry(i, j, diag):
+        c = (Rk[3 * i] * Rk[3 * j] * s1[0]
+             + Rk[3 * i + 1] * Rk[3 * j + 1] * s1[1]
+             + Rk[3 * i + 2] * Rk[3 * j + 2] * s1[2])
+        if diag is not None:
+            c = c + s2[diag]
+        return c
+
+    a = centry(0, 0, 0)
+    b = centry(0, 1, None)
+    c_ = centry(0, 2, None)
+    d = centry(1, 1, 1)
+    e = centry(1, 2, None)
+    f = centry(2, 2, 2)
+
+    # m2 = delta^T adj(C) delta / det(C)
+    A11 = d * f - e * e
+    A12 = c_ * e - b * f
+    A13 = b * e - c_ * d
+    A22 = a * f - c_ * c_
+    A23 = b * c_ - a * e
+    A33 = a * d - b * b
+    det = a * A11 + b * A12 + c_ * A13
+    quad = (A11 * d1 * d1 + A22 * d2 * d2 + A33 * d3 * d3
+            + 2.0 * (A12 * d1 * d2 + A13 * d1 * d3 + A23 * d2 * d3))
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    m2 = jnp.maximum(quad * inv_det, 0.0)
+
+    inl = (m2 <= th) & vld
+    cnt = jnp.sum(inl.astype(jnp.float32), axis=1)            # (BH,)
+    errsum = jnp.sum(jnp.where(inl, m2, 0.0), axis=1)
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
+    out_ref[...] = jnp.where(
+        cols == 0, cnt[:, None],
+        jnp.where(cols == 1, errsum[:, None], 0.0),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8))
+def mahal_hypothesis_scores(
+    T_h: jnp.ndarray,
+    p1: jnp.ndarray,
+    p2: jnp.ndarray,
+    s1: jnp.ndarray,
+    s2: jnp.ndarray,
+    valid: jnp.ndarray,
+    th: float,
+    block_h: int = 32,
+    interpret: bool | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inlier count (H,) i32 and Mahalanobis^2 sum (H,) f32 per hypothesis.
+
+    T_h (H, 4, 4); p1/p2 (N, 3); s1/s2 (N, 3) per-point sensor-covariance
+    diagonals; th = max_mahalanobis^2. Bit-exact vs the XLA plane scorer
+    (same arithmetic, same order) — see tests/test_pallas_ransac.py.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    H = T_h.shape[0]
+    N = p1.shape[0]
+    bh = min(block_h, H)
+    assert H % bh == 0, (H, bh)
+
+    rt = jnp.concatenate(
+        [T_h[:, :3, :3].reshape(H, 9), T_h[:, :3, 3]], axis=1
+    ).astype(jnp.float32)                                     # (H, 12)
+    planes = jnp.concatenate(
+        [p1.T, p2.T, s1.T, s2.T,
+         valid.astype(jnp.float32)[None, :],
+         jnp.zeros((3, N), jnp.float32)],
+        axis=0,
+    ).astype(jnp.float32)                                     # (16, N)
+
+    out = pl.pallas_call(
+        functools.partial(_mahal_kernel, th=float(th)),
+        grid=(H // bh,),
+        in_specs=[
+            pl.BlockSpec((bh, 12), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bh, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, 128), jnp.float32),
+        interpret=interpret,
+    )(rt, planes)
+    return out[:, 0].astype(jnp.int32), out[:, 1]
+
+
+# ---------------------------------------------------------------------------
+# Fused GICP Gauss-Newton normal-equation builder
+# ---------------------------------------------------------------------------
+
+
+def _unpack_gicp_planes(P):
+    """planes (24*8, N/8) -> (p1, p2, c1, c2, vld) plane accessors; plane i
+    lives in rows 8i..8i+8 (each per-point plane reshaped (8, N/8) for full
+    VPU sublane utilization)."""
+
+    def row(i):
+        return P[8 * i:8 * (i + 1), :]         # (8, N/8)
+
+    p1 = (row(0), row(1), row(2))
+    p2 = (row(3), row(4), row(5))
+    C1 = {(0, 0): row(6), (0, 1): row(7), (0, 2): row(8),
+          (1, 1): row(9), (1, 2): row(10), (2, 2): row(11)}
+    C2 = {(0, 0): row(12), (0, 1): row(13), (0, 2): row(14),
+          (1, 1): row(15), (1, 2): row(16), (2, 2): row(17)}
+    vld = row(18) != 0.0
+
+    def c1(i, j):
+        return C1[(i, j)] if i <= j else C1[(j, i)]
+
+    def c2(i, j):
+        return C2[(i, j)] if i <= j else C2[(j, i)]
+
+    return p1, p2, c1, c2, vld
+
+
+def _gicp_iteration(Rm, tv, p1, p2, c1, c2, vld, max_dist: float):
+    """One plane-to-plane GN normal-equation build, all VPU planes.
+
+    Rm: 3x3 nested list of scalars; tv: 3-list of scalars.
+    Returns (Hs: 21 upper-tri scalars, bs: 6 scalars, cost, count).
+    """
+    # q = R p1 + t; r = q - p2
+    q = [Rm[i][0] * p1[0] + Rm[i][1] * p1[1] + Rm[i][2] * p1[2] + tv[i]
+         for i in range(3)]
+    r = [q[i] - p2[i] for i in range(3)]
+
+    # S = R C1 R^T + C2 (6 unique planes)
+    def s_entry(i, j):
+        acc = None
+        for k in range(3):
+            for l in range(3):
+                term = (Rm[i][k] * Rm[j][l]) * c1(k, l)
+                acc = term if acc is None else acc + term
+        return acc + c2(i, j)
+
+    a = s_entry(0, 0)
+    b_ = s_entry(0, 1)
+    c_ = s_entry(0, 2)
+    d_ = s_entry(1, 1)
+    e_ = s_entry(1, 2)
+    f_ = s_entry(2, 2)
+
+    # W = S^-1 via adjugate/det (S symmetric positive definite)
+    A11 = d_ * f_ - e_ * e_
+    A12 = c_ * e_ - b_ * f_
+    A13 = b_ * e_ - c_ * d_
+    A22 = a * f_ - c_ * c_
+    A23 = b_ * c_ - a * e_
+    A33 = a * d_ - b_ * b_
+    det = a * A11 + b_ * A12 + c_ * A13
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    W = {(0, 0): A11 * inv_det, (0, 1): A12 * inv_det, (0, 2): A13 * inv_det,
+         (1, 1): A22 * inv_det, (1, 2): A23 * inv_det, (2, 2): A33 * inv_det}
+
+    def w(i, j):
+        return W[(i, j)] if i <= j else W[(j, i)]
+
+    dist2 = r[0] * r[0] + r[1] * r[1] + r[2] * r[2]
+    gate = (vld & (dist2 < max_dist * max_dist)).astype(jnp.float32)
+
+    # J = [I3 | -hat(q)]; -hat(q) = [[0, qz, -qy], [-qz, 0, qx], [qy, -qx, 0]]
+    zero = jnp.zeros_like(q[0])
+    Jr = [[zero, q[2], -q[1]],
+          [-q[2], zero, q[0]],
+          [q[1], -q[0], zero]]
+
+    def jcol(c):
+        if c < 3:
+            return [jnp.full_like(q[0], 1.0) if i == c else zero
+                    for i in range(3)]
+        return [Jr[i][c - 3] for i in range(3)]
+
+    cols = [jcol(c) for c in range(6)]
+    Wcols = [[w(i, 0) * col[0] + w(i, 1) * col[1] + w(i, 2) * col[2]
+              for i in range(3)] for col in cols]
+
+    Hs = []
+    for i in range(6):
+        for j in range(i, 6):
+            hij = (cols[i][0] * Wcols[j][0] + cols[i][1] * Wcols[j][1]
+                   + cols[i][2] * Wcols[j][2])
+            Hs.append(jnp.sum(hij * gate))
+    bs = []
+    for i in range(6):
+        bi = (Wcols[i][0] * r[0] + Wcols[i][1] * r[1] + Wcols[i][2] * r[2])
+        bs.append(jnp.sum(bi * gate))
+    wr = [w(i, 0) * r[0] + w(i, 1) * r[1] + w(i, 2) * r[2] for i in range(3)]
+    cost = jnp.sum((r[0] * wr[0] + r[1] * wr[1] + r[2] * wr[2]) * gate)
+    return Hs, bs, cost, jnp.sum(gate)
+
+
+def _chol6_solve_neg(Hs, bs, damping: float):
+    """x = -(H + damping I)^-1 b on scalars: unrolled 6x6 Cholesky +
+    forward/back substitution (Hs = 21 upper-triangular entries)."""
+    A = [[None] * 6 for _ in range(6)]
+    k = 0
+    for i in range(6):
+        for j in range(i, 6):
+            A[i][j] = Hs[k]
+            A[j][i] = Hs[k]
+            k += 1
+        A[i][i] = A[i][i] + damping
+
+    L = [[None] * 6 for _ in range(6)]
+    for i in range(6):
+        for j in range(i + 1):
+            s = A[i][j]
+            for m in range(j):
+                s = s - L[i][m] * L[j][m]
+            if i == j:
+                L[i][i] = jnp.sqrt(jnp.maximum(s, 1e-20))
+            else:
+                L[i][j] = s / L[j][j]
+    # forward: L y = -b
+    y = [None] * 6
+    for i in range(6):
+        s = -bs[i]
+        for m in range(i):
+            s = s - L[i][m] * y[m]
+        y[i] = s / L[i][i]
+    # back: L^T x = y
+    x = [None] * 6
+    for i in range(5, -1, -1):
+        s = y[i]
+        for m in range(i + 1, 6):
+            s = s - L[m][i] * x[m]
+        x[i] = s / L[i][i]
+    return x
+
+
+def _se3_exp_compose(xi, Rm, tv):
+    """(R', t') = exp(xi) (R, t) on scalars — xi = [rho, phi], the same
+    [rho | phi] left-increment convention as geometry/se3.exp."""
+    rho = xi[:3]
+    phi = xi[3:]
+    th2 = phi[0] * phi[0] + phi[1] * phi[1] + phi[2] * phi[2]
+    th = jnp.sqrt(th2)
+    small = th2 < 1e-12
+    # series-safe coefficients
+    A = jnp.where(small, 1.0 - th2 / 6.0, jnp.sin(th) / jnp.where(small, 1.0, th))
+    B = jnp.where(small, 0.5 - th2 / 24.0,
+                  (1.0 - jnp.cos(th)) / jnp.where(small, 1.0, th2))
+    C = jnp.where(small, 1.0 / 6.0 - th2 / 120.0,
+                  (th - jnp.sin(th)) / jnp.where(small, 1.0, th2 * th))
+
+    def hat_sq(i, j):
+        # (hat(phi)^2)_ij = phi_i phi_j - delta_ij th2
+        v = phi[i] * phi[j]
+        return v - th2 if i == j else v
+
+    hat = [[0.0, -phi[2], phi[1]],
+           [phi[2], 0.0, -phi[0]],
+           [-phi[1], phi[0], 0.0]]
+    Re = [[(1.0 if i == j else 0.0) + A * hat[i][j] + B * hat_sq(i, j)
+           for j in range(3)] for i in range(3)]
+    V = [[(1.0 if i == j else 0.0) + B * hat[i][j] + C * hat_sq(i, j)
+          for j in range(3)] for i in range(3)]
+    te = [V[i][0] * rho[0] + V[i][1] * rho[1] + V[i][2] * rho[2]
+          for i in range(3)]
+    R_new = [[Re[i][0] * Rm[0][j] + Re[i][1] * Rm[1][j] + Re[i][2] * Rm[2][j]
+              for j in range(3)] for i in range(3)]
+    t_new = [Re[i][0] * tv[0] + Re[i][1] * tv[1] + Re[i][2] * tv[2] + te[i]
+             for i in range(3)]
+    return R_new, t_new
+
+
+def _gicp_gn_kernel(rt_ref, planes_ref, out_ref, *, max_dist: float):
+    """Single GN normal-equation build (see gicp_gn_normal_equations).
+
+    out_ref: (32, 128) f32 — col 0 rows 0..20 = upper-triangular H, rows
+    21..26 = b, row 27 = cost, row 28 = gated count.
+    """
+    rt = rt_ref[...]
+    Rm = [[rt[0, 3 * i + j] for j in range(3)] for i in range(3)]
+    tv = [rt[0, 9], rt[0, 10], rt[0, 11]]
+    p1, p2, c1, c2, vld = _unpack_gicp_planes(planes_ref[...])
+    Hs, bs, cost, cnt = _gicp_iteration(Rm, tv, p1, p2, c1, c2, vld, max_dist)
+    vals = Hs + bs + [cost, cnt]
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 0)
+    col0 = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 1) == 0
+    out = jnp.zeros((32, 128), jnp.float32)
+    for k, val in enumerate(vals):
+        out = out + jnp.where((row_iota == k) & col0, val, 0.0)
+    out_ref[...] = out
+
+
+def _gicp_loop_kernel(rt_ref, planes_ref, out_ref, *, iters: int,
+                      max_dist: float, damping: float):
+    """The ENTIRE plane-to-plane GN refinement in one kernel launch: `iters`
+    unrolled rounds of (normal-equation build -> scalar 6x6 Cholesky solve ->
+    scalar SE(3) exp/compose). One pallas_call replaces iters kernel/op
+    launches — at N~1k the per-iteration work is launch-bound, not
+    compute-bound, so this is where the time actually goes.
+
+    out_ref: (8, 128) f32 — col 0 rows 0..8 = R.ravel, 9..11 = t,
+    12 = final cost, 13 = final gated count.
+    """
+    rt = rt_ref[...]
+    Rm = [[rt[0, 3 * i + j] for j in range(3)] for i in range(3)]
+    tv = [rt[0, 9], rt[0, 10], rt[0, 11]]
+    p1, p2, c1, c2, vld = _unpack_gicp_planes(planes_ref[...])
+
+    cost = jnp.float32(0.0)
+    cnt = jnp.float32(0.0)
+    for _ in range(iters):
+        Hs, bs, cost, cnt = _gicp_iteration(Rm, tv, p1, p2, c1, c2, vld,
+                                            max_dist)
+        xi = _chol6_solve_neg(Hs, bs, damping)
+        Rm, tv = _se3_exp_compose(xi, Rm, tv)
+
+    vals = [Rm[i][j] for i in range(3) for j in range(3)] + tv + [cost, cnt]
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    out = jnp.zeros((8, 128), jnp.float32)
+    for k, val in enumerate(vals):
+        out = out + jnp.where((row_iota == k % 8) & (col_iota == k // 8),
+                              val, 0.0)
+    out_ref[...] = out
+
+
+_TRIU6 = [(i, j) for i in range(6) for j in range(i, 6)]
+
+
+def _pack_gicp_inputs(T, p1, p2, C1, C2, valid):
+    """rt (1, 16) + planes (24*8, N/8) for the GICP kernels."""
+    N = p1.shape[0]
+    assert N % 8 == 0, N
+    rt = jnp.concatenate(
+        [T[:3, :3].reshape(9), T[:3, 3], jnp.zeros((4,), T.dtype)]
+    ).astype(jnp.float32)[None, :]                               # (1, 16)
+
+    def sym6(C):
+        return jnp.stack([C[:, 0, 0], C[:, 0, 1], C[:, 0, 2],
+                          C[:, 1, 1], C[:, 1, 2], C[:, 2, 2]])    # (6, N)
+
+    planes = jnp.concatenate(
+        [p1.T, p2.T, sym6(C1), sym6(C2),
+         valid.astype(jnp.float32)[None, :],
+         jnp.zeros((5, N), jnp.float32)],
+        axis=0,
+    ).astype(jnp.float32)                                        # (24, N)
+    # (24, N) -> (24*8, N/8): full sublane utilization in the kernel
+    return rt, planes.reshape(24 * 8, N // 8)
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
+def gicp_refine_kernel(
+    T_init: jnp.ndarray,
+    p1: jnp.ndarray,
+    p2: jnp.ndarray,
+    C1: jnp.ndarray,
+    C2: jnp.ndarray,
+    valid: jnp.ndarray,
+    iters: int,
+    max_dist: float,
+    damping: float = 1e-6,
+    interpret: bool | None = None,
+):
+    """Complete plane-to-plane GN refinement in ONE kernel launch.
+
+    Returns (T (4,4), final cost (), final gated count ()). Matches the
+    XLA fori_loop in solvers/icp.gicp_refine (same math per round:
+    normal equations -> damped Cholesky -> left-multiplied SE(3) update).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    rt, planes = _pack_gicp_inputs(T_init, p1, p2, C1, C2, valid)
+    out = pl.pallas_call(
+        functools.partial(_gicp_loop_kernel, iters=int(iters),
+                          max_dist=float(max_dist), damping=float(damping)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        interpret=interpret,
+    )(rt, planes)
+    R = jnp.stack([out[(3 * i + j) % 8, (3 * i + j) // 8]
+                   for i in range(3) for j in range(3)]).reshape(3, 3)
+    t = jnp.stack([out[(9 + i) % 8, (9 + i) // 8] for i in range(3)])
+    T = jnp.eye(4, dtype=jnp.float32).at[:3, :3].set(R).at[:3, 3].set(t)
+    return T, out[12 % 8, 12 // 8], out[13 % 8, 13 // 8]
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7))
+def gicp_gn_normal_equations(
+    T: jnp.ndarray,
+    p1: jnp.ndarray,
+    p2: jnp.ndarray,
+    C1: jnp.ndarray,
+    C2: jnp.ndarray,
+    valid: jnp.ndarray,
+    max_dist: float,
+    interpret: bool | None = None,
+):
+    """(H (6,6), b (6,), cost (), count ()) of the plane-to-plane GN step.
+
+    T (4,4); p1/p2 (N,3); C1/C2 (N,3,3) symmetric surface covariances.
+    Bit-parity-tested against the XLA einsum form (tests/test_pallas_ransac.py).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    rt, planes = _pack_gicp_inputs(T, p1, p2, C1, C2, valid)
+    out = pl.pallas_call(
+        functools.partial(_gicp_gn_kernel, max_dist=float(max_dist)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((32, 128), jnp.float32),
+        interpret=interpret,
+    )(rt, planes)
+    v = out[:, 0]
+    H = jnp.zeros((6, 6), jnp.float32)
+    for k, (i, j) in enumerate(_TRIU6):
+        H = H.at[i, j].set(v[k])
+        if i != j:
+            H = H.at[j, i].set(v[k])
+    b = v[21:27]
+    return H, b, v[27], v[28]

@@ -180,6 +180,21 @@ def gicp_refine(
     if C2 is None:
         C2 = knn_covariances(p2, valid, epsilon=cfg.gicp_epsilon)
 
+    use_kernel = (not cfg.reassociate) and jax.default_backend() == "tpu"
+    if use_kernel:
+        # the ENTIRE GN loop as one Pallas launch (normal equations +
+        # scalar 6x6 Cholesky + SE(3) exp per round, unrolled in-kernel):
+        # at N ~ 1k each XLA iteration is launch-bound (~20 small ops +
+        # a solve), so fusing the loop, not just the per-iteration math,
+        # is what actually buys time
+        from rgbdslam_tpu.ops.pallas_kernels import gicp_refine_kernel
+
+        T_fin, _cost, _cnt = gicp_refine_kernel(
+            T_init.astype(jnp.float32), p1, p2, C1, C2, valid,
+            cfg.max_iterations, cfg.max_correspondence_dist,
+        )
+        return _finish_gicp(T_fin, T_init, p1, p2, valid, cfg)
+
     def body(i, carry):
         T, _ = carry
         R = T[:3, :3]
@@ -204,7 +219,11 @@ def gicp_refine(
         return (T_new, cost)
 
     T_fin, _ = jax.lax.fori_loop(0, cfg.max_iterations, body, (T_init, jnp.inf))
+    return _finish_gicp(T_fin, T_init, p1, p2, valid, cfg)
 
+
+def _finish_gicp(T_fin, T_init, p1, p2, valid, cfg: IcpConfig):
+    """Convergence gate + fallback (shared by the XLA and Pallas paths)."""
     n_valid = jnp.sum(valid)
     enough = n_valid >= cfg.min_matches
     # convergence proxy: final gated correspondence count stays >= min_matches
@@ -219,6 +238,7 @@ def gicp_refine(
     gated = valid & (jnp.linalg.norm(q - p2_fin, axis=-1)
                      < cfg.max_correspondence_dist)
     converged = enough & (jnp.sum(gated) >= cfg.min_matches)
+    converged = converged & jnp.isfinite(T_fin).all()
     T_out = jnp.where(converged, T_fin, T_init)
     return T_out, converged, n_valid.astype(jnp.int32)
 

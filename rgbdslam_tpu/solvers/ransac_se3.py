@@ -299,11 +299,29 @@ def ransac_se3(
     # hypothesis 0 = identity (identity fallback, Solver/SolverSE3.cpp:105-117)
     T_h = T_h.at[0].set(jnp.eye(4, dtype=T_h.dtype))
 
-    inl_h, cnt_h, rmse_h = _score(T_h, p1, p2, valid, cfg, cam)
+    # hypothesis ranking needs only (count, error) per hypothesis — on TPU a
+    # fused Pallas kernel computes them without materializing any (H, N)
+    # intermediate (the XLA plane form streams ~25 such arrays through HBM)
+    if cfg.error_model == "mahalanobis" and jax.default_backend() == "tpu":
+        from rgbdslam_tpu.ops.pallas_kernels import mahal_hypothesis_scores
+
+        s1 = _sigma_diag(p1[:, 2], cfg)
+        s2 = _sigma_diag(p2[:, 2], cfg)
+        cnt_h, err_h = mahal_hypothesis_scores(
+            T_h, p1, p2, s1, s2, valid,
+            cfg.max_mahalanobis * cfg.max_mahalanobis,
+        )
+        rmse_h = jnp.where(
+            cnt_h >= 3, jnp.sqrt(err_h / jnp.maximum(cnt_h, 1)), 1e9
+        )
+    else:
+        _inl_h, cnt_h, rmse_h = _score(T_h, p1, p2, valid, cfg, cam)
     # lexicographic best: max inliers, then min error
     rank = cnt_h.astype(jnp.float32) * 1e4 - jnp.minimum(rmse_h, 9e3)
     best = jnp.argmax(rank)
     T_best = T_h[best]
+    # the winner's inlier mask (only the winner's is ever needed)
+    inl_b, cnt_b, rmse_b = _score(T_best, p1, p2, valid, cfg, cam)
 
     # masked refinement re-fits on the full inlier set
     # (Solver/SolverSE3.cpp:61-84 refine-until-stable, fixed-trip here)
@@ -320,7 +338,7 @@ def ransac_se3(
         return (T_keep, jnp.where(better, inl2, inl), jnp.where(better, cnt2, cnt),
                 jnp.where(better, rmse2, rmse)), None
 
-    init = (T_best, inl_h[best], cnt_h[best], rmse_h[best])
+    init = (T_best, inl_b, cnt_b, rmse_b)
     (T_fin, inl_fin, cnt_fin, rmse_fin), _ = jax.lax.scan(
         refine_step, init, None, length=cfg.refine_iters
     )
