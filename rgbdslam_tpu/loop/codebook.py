@@ -25,8 +25,21 @@ from rgbdslam_tpu.ops import hamming
 
 def quantize(desc: jnp.ndarray, words: jnp.ndarray,
              valid: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Nearest-word ids (N,) for descriptors (N, 8) against words (V, 8)."""
-    d = hamming.hamming_distance_matrix(desc, words, valid1=valid)
+    """Nearest-word ids (N,) for descriptors against words (V, D).
+
+    Binary (uint32-packed) descriptors use Hamming distance; float
+    (SIFT/SURF-class, L2-normalized) descriptors use squared-L2 via one MXU
+    matmul — so every descriptor family of the reference factory gets a BoW
+    path (Features/Extractor.h:13-26; DBoW3 itself is binary-only, this is
+    beyond-reference for the float families)."""
+    if desc.dtype == jnp.uint32:
+        d = hamming.hamming_distance_matrix(desc, words, valid1=valid)
+        return jnp.argmin(d, axis=1).astype(jnp.int32)
+    # ||x - w||^2 = ||x||^2 - 2 x.w + ||w||^2; only the argmin matters
+    dots = desc @ words.T                                  # (N, V) MXU
+    d = jnp.sum(words * words, axis=-1)[None, :] - 2.0 * dots
+    if valid is not None:
+        d = jnp.where(valid[:, None], d, jnp.inf)
     return jnp.argmin(d, axis=1).astype(jnp.int32)
 
 
@@ -43,6 +56,53 @@ def _pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
     b = bits.reshape(v, 8, 32).astype(jnp.uint32)
     shifts = jnp.arange(32, dtype=jnp.uint32)
     return jnp.sum(b << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def train_codebook_float(
+    desc: jnp.ndarray,
+    valid: jnp.ndarray,
+    vocab_size: int = 1024,
+    iters: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Deterministic Lloyd k-means for float descriptor families
+    (SIFT/SURF-class): maxmin seeding + mean recomputation, L2 metric.
+    Returns (words (V, D) f32, idf (V,) f32) like train_codebook."""
+    first = jnp.argmax(valid)
+
+    def d2_to(w):
+        diff = desc - w[None, :]
+        return jnp.sum(diff * diff, axis=-1)
+
+    def pick(carry, _):
+        min_d, = carry
+        idx = jnp.argmax(jnp.where(valid, min_d, -1.0))
+        w = desc[idx]
+        return (jnp.minimum(min_d, d2_to(w)),), w
+
+    (_,), rest = jax.lax.scan(
+        pick, (d2_to(desc[first]),), None, length=vocab_size - 1
+    )
+    words = jnp.concatenate([desc[first][None], rest], axis=0)
+    wmask = valid.astype(jnp.float32)
+
+    def step(words, _):
+        assign = quantize(desc, words, valid)
+        onehot = jax.nn.one_hot(assign, vocab_size,
+                                dtype=jnp.float32) * wmask[:, None]
+        counts = onehot.sum(axis=0)
+        sums = onehot.T @ desc
+        new_words = sums / jnp.maximum(counts, 1.0)[:, None]
+        return jnp.where((counts > 0)[:, None], new_words, words), None
+
+    words, _ = jax.lax.scan(step, words, None, length=iters)
+    assign = quantize(desc, words, valid)
+    onehot = jax.nn.one_hot(assign, vocab_size,
+                            dtype=jnp.float32) * wmask[:, None]
+    df = onehot.sum(axis=0)
+    n_valid = jnp.maximum(wmask.sum(), 1.0)
+    idf = jnp.maximum(jnp.log(n_valid / (1.0 + df)), 0.0)
+    return words, idf
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))

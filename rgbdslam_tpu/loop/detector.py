@@ -68,7 +68,16 @@ class LoopDetector:
     def _train(self):
         desc = np.concatenate([d for d, _ in self._pending], axis=0)
         valid = np.concatenate([v for _, v in self._pending], axis=0)
-        self.words, self.idf = train_codebook(
+        if desc.dtype == np.uint32:
+            train = train_codebook
+        else:
+            # float descriptor families (SIFT/SURF-class) get an L2 k-means
+            # codebook — beyond the reference, whose DBoW3 vocabulary is
+            # binary-only (so its SIFT/SURF runs would lose loop closure too)
+            from rgbdslam_tpu.loop.codebook import train_codebook_float
+
+            train = train_codebook_float
+        self.words, self.idf = train(
             jnp.asarray(desc), jnp.asarray(valid),
             self.cfg.vocab_size, self.cfg.vocab_iters,
         )

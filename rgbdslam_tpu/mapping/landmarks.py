@@ -87,6 +87,11 @@ class LandmarkStore:
         n = len(uv_undist)
         assign = np.full((n,), -1, np.int32)
         Twc = np.linalg.inv(Tcw)
+        if kf == 0 and (self.desc.shape[1:] != desc.shape[1:]
+                        or self.desc.dtype != desc.dtype):
+            # descriptor family decided by the first keyframe (float
+            # SIFT/SURF-class are (N, 128) f32, binary (N, 8) u32)
+            self.desc = np.zeros((self.L,) + desc.shape[1:], desc.dtype)
 
         # ---- extend tracks through matches from the previous keyframe -----
         if match_idx is not None and prev_kf is not None and prev_kf in self.kp2lm:

@@ -243,7 +243,7 @@ class SlamSystem:
         nd = f.desc.shape[1]
         binary_desc = f.desc.dtype == jnp.uint32
         self._ensure_bank(f)
-        bow_on = binary_desc and self._bow_dev is not None
+        bow_on = self._bow_dev is not None
 
         # proximity candidates (createLocalEdges' radius search) from host
         # poses — the kd-tree replacement (Solver/PoseGraph.cpp:157-184)
@@ -325,20 +325,24 @@ class SlamSystem:
         # BoW registration: pre-training the host path accumulates
         # descriptors (already fetched into the store — no extra device
         # reads); once the codebook exists, the fused program quantized the
-        # vector on device and `vec` just mirrors it into the host table
-        if binary_desc:
-            if vec is not None:
-                self.loop_detector.add_precomputed(vec, connections)
-            else:
-                self.loop_detector.add(self.store.desc[k],
-                                       self.store.obs_valid[k], connections)
-                if self.loop_detector.words is not None:
-                    # codebook just trained: push device copies + backfill
-                    # the device BoW bank with the host table
-                    self._bow_dev = (jnp.asarray(self.loop_detector.words),
-                                     jnp.asarray(self.loop_detector.idf))
-                    self._bank = (D, X, V,
-                                  jnp.asarray(self.loop_detector.bow_db))
+        # vector on device and `vec` just mirrors it into the host table.
+        # Binary families train a k-majority codebook, float (SIFT/SURF)
+        # families an L2 k-means one (loop/codebook.py) — every descriptor
+        # family keeps loop closure (beyond the reference: DBoW3 is
+        # binary-only).
+        if vec is not None:
+            self.loop_detector.add_precomputed(vec, connections)
+        else:
+            self.loop_detector.add(self.store.desc[k],
+                                   self.store.obs_valid[k], connections)
+            if self.loop_detector.words is not None:
+                # codebook now available (just trained, or preloaded before
+                # the first keyframe): push device copies + backfill the
+                # device BoW bank with the host table
+                self._bow_dev = (jnp.asarray(self.loop_detector.words),
+                                 jnp.asarray(self.loop_detector.idf))
+                self._bank = (D, X, V,
+                              jnp.asarray(self.loop_detector.bow_db))
 
         # landmark-track extension (Landmark::addObservation analog),
         # already computed on device by the fused program
@@ -356,10 +360,9 @@ class SlamSystem:
             match_idx, match_valid, k - 1 if k > 0 else None,
         )
 
-        # loop detection (detectLoop) — BoW quantization needs binary
-        # descriptors; float (SIFT/SURF-class) runs are odometry+proximity
+        # loop detection (detectLoop)
         loop_found = False
-        if binary_desc and self.kfs_since_loop >= self.cfg.loop.min_kfs_since_loop:
+        if self.kfs_since_loop >= self.cfg.loop.min_kfs_since_loop:
             if self._detect_and_close_loop(k, f, scores):
                 self.kfs_since_loop = 0
                 loop_found = True
@@ -388,8 +391,6 @@ class SlamSystem:
         ld = self.loop_detector
         if ld.words is None or ld.count < 1:
             return False, None
-        if f.desc.dtype != jnp.uint32:
-            return False, None   # float-descriptor runs have no BoW database
         vec = bow_vector(f.desc, f.obs_valid, ld.words, ld.idf)
         scores = np.asarray(
             bow_scores(vec, jnp.asarray(ld.bow_db[: ld.count]))
