@@ -130,6 +130,121 @@ def fetch_replicated(x) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Asynchronous loop-constraint exchange over DCN (SURVEY §2.7 P7)
+# ---------------------------------------------------------------------------
+
+
+class ConstraintExchange:
+    """Fire-and-forget exchange of loop-closure constraints between hosts.
+
+    The solve itself rides synchronous collectives (ICI); loop constraints
+    are discovered asynchronously by whichever host's tracker finds them and
+    must reach the other hosts WITHOUT a barrier — the reference's analog is
+    the PoseGraph thread consuming the tracker's queue across a thread
+    boundary (Solver/PoseGraph.cpp:289-302); across machines the boundary is
+    DCN. Plain length-prefixed TCP with a listener thread per process: no
+    collective, no rendezvous — publish() never blocks on the consumer, and
+    poll() drains whatever has arrived before the next solve.
+
+    Wire format per edge: '<iiff' header is not needed — fixed 76-byte
+    payload [a i32 | b i32 | weight f32 | Z 16xf32].
+    """
+
+    _EDGE_BYTES = 4 + 4 + 4 + 64
+
+    def __init__(self, port: int, peers):
+        import socket
+        import threading
+
+        self._peers = list(peers)          # "host:port" of every OTHER process
+        self._rx = []
+        self._lock = threading.Lock()
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind(("0.0.0.0", port))
+        self._sock.listen(8)
+        self._closing = False
+        self._conns = {}
+        self._thread = threading.Thread(target=self._listen, daemon=True)
+        self._thread.start()
+
+    # -- receive side ---------------------------------------------------
+    def _listen(self):
+        import threading
+
+        while not self._closing:
+            try:
+                conn, _ = self._sock.accept()
+            except OSError:
+                return
+            threading.Thread(target=self._drain, args=(conn,),
+                             daemon=True).start()
+
+    def _drain(self, conn):
+        import numpy as _np
+
+        buf = b""
+        while not self._closing:
+            try:
+                chunk = conn.recv(4096)
+            except OSError:
+                return
+            if not chunk:
+                return
+            buf += chunk
+            while len(buf) >= self._EDGE_BYTES:
+                rec, buf = buf[: self._EDGE_BYTES], buf[self._EDGE_BYTES:]
+                a = int(_np.frombuffer(rec[0:4], _np.int32)[0])
+                b = int(_np.frombuffer(rec[4:8], _np.int32)[0])
+                w = float(_np.frombuffer(rec[8:12], _np.float32)[0])
+                Z = _np.frombuffer(rec[12:], _np.float32).reshape(4, 4).copy()
+                with self._lock:
+                    self._rx.append((a, b, Z, w))
+
+    # -- send side --------------------------------------------------------
+    def _conn_to(self, peer: str):
+        import socket
+
+        if peer not in self._conns:
+            host, port = peer.rsplit(":", 1)
+            s = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            s.settimeout(5.0)
+            s.connect((host, int(port)))
+            self._conns[peer] = s
+        return self._conns[peer]
+
+    def publish(self, a: int, b: int, Z: np.ndarray, weight: float = 1.0):
+        """Ship one constraint to every peer; best-effort (a dead peer is
+        skipped — elastic, like any DCN-side channel must be)."""
+        rec = (np.int32(a).tobytes() + np.int32(b).tobytes()
+               + np.float32(weight).tobytes()
+               + np.asarray(Z, np.float32).tobytes())
+        for peer in self._peers:
+            try:
+                self._conn_to(peer).sendall(rec)
+            except OSError:
+                self._conns.pop(peer, None)
+
+    def poll(self):
+        """Drain constraints received since the last poll (non-blocking)."""
+        with self._lock:
+            out, self._rx = self._rx, []
+        return out
+
+    def close(self):
+        self._closing = True
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+        for s in self._conns.values():
+            try:
+                s.close()
+            except OSError:
+                pass
+
+
+# ---------------------------------------------------------------------------
 # Worker: deterministic distributed pose-graph solve + self-check/bench
 # ---------------------------------------------------------------------------
 
@@ -184,6 +299,11 @@ def main(argv=None):
                     help="compare against the local dense solve")
     ap.add_argument("--bench-reps", type=int, default=0,
                     help="time the solve over N repetitions")
+    ap.add_argument("--exchange-base-port", type=int, default=0,
+                    help="exercise the async DCN loop-constraint exchange: "
+                         "each process withholds one loop edge, publishes it "
+                         "over TCP, and solves only after receiving the "
+                         "peers' constraints")
     args = ap.parse_args(argv)
 
     jax = initialize(
@@ -205,6 +325,87 @@ def main(argv=None):
     K, E = args.vertices, args.edges
     Twc0, edges_np, fixed_np, Twc_true = _make_problem(K, E)
 
+    exchanged = 0
+    if args.exchange_base_port:
+        # asynchronous DCN constraint exchange: the last `num_processes`
+        # edges of the problem are "loop discoveries", one per process —
+        # each is published over TCP and everyone merges before solving
+        nproc = args.num_processes
+        pid = args.process_id
+        ex = ConstraintExchange(
+            args.exchange_base_port + pid,
+            [f"localhost:{args.exchange_base_port + p}"
+             for p in range(nproc) if p != pid],
+        )
+        mine = E - nproc + pid
+        received = {}
+        acks = set()
+        deadline = time.time() + 90.0
+        last_pub = 0.0
+        # single drive loop over the best-effort channel: keep re-publishing
+        # our constraint (a peer whose listener wasn't up yet just dropped
+        # it; duplicates dedup by content); once we hold every peer's
+        # constraint, start publishing an ack record (a = -1-pid), and only
+        # finish when every peer has acked too — pure TCP choreography, no
+        # collective (a gloo barrier here would poison the solve's own gloo
+        # context; a real deployment never tears the channel down at all)
+        while ((len(received) < nproc - 1 or len(acks) < nproc - 1)
+               and time.time() < deadline):
+            if time.time() - last_pub > 0.5:
+                ex.publish(int(edges_np.a[mine]), int(edges_np.b[mine]),
+                           edges_np.Z[mine], float(edges_np.weight[mine]))
+                if len(received) == nproc - 1:
+                    ex.publish(-1 - pid, 0, np.eye(4, dtype=np.float32), 0.0)
+                last_pub = time.time()
+            for (a, b, Z, w) in ex.poll():
+                if a < 0:
+                    acks.add(a)
+                else:
+                    received[(a, b, Z.tobytes())] = (a, b, Z, w)
+            time.sleep(0.01)
+        # final ack: the exit condition can be met between timer ticks,
+        # before this process ever sent its own ack
+        ex.publish(-1 - pid, 0, np.eye(4, dtype=np.float32), 0.0)
+        for _ in range(100):   # drain any last in-flight acks
+            if len(acks) >= nproc - 1:
+                break
+            for (a, b, Z, w) in ex.poll():
+                if a < 0:
+                    acks.add(a)
+            time.sleep(0.01)
+        ex.close()
+        exchanged = len(received)
+        assert exchanged == nproc - 1, f"got {exchanged} constraints"
+        assert len(acks) == nproc - 1, f"got {len(acks)} acks"
+        # reassemble the full edge set deterministically: base edges + every
+        # process's discovery in index order — identical on all hosts
+        from rgbdslam_tpu.solvers.pose_graph import PoseGraphEdges
+
+        disc = {(int(edges_np.a[E - nproc + p]),
+                 int(edges_np.b[E - nproc + p]))
+                for p in range(nproc)}
+        a_l = list(edges_np.a[: E - nproc])
+        b_l = list(edges_np.b[: E - nproc])
+        Z_l = list(edges_np.Z[: E - nproc])
+        w_l = list(edges_np.weight[: E - nproc])
+        Z_mine = edges_np.Z[mine].astype(np.float32)
+        received[(int(edges_np.a[mine]), int(edges_np.b[mine]),
+                  Z_mine.tobytes())] = (
+            int(edges_np.a[mine]), int(edges_np.b[mine]),
+            Z_mine, float(edges_np.weight[mine]))
+        for key_ab in sorted(received):
+            a, b, Z, w = received[key_ab]
+            assert (a, b) in disc
+            a_l.append(a)
+            b_l.append(b)
+            Z_l.append(Z)
+            w_l.append(w)
+        edges_np = PoseGraphEdges(
+            a=np.asarray(a_l, np.int32), b=np.asarray(b_l, np.int32),
+            Z=np.stack(Z_l).astype(np.float32),
+            weight=np.asarray(w_l, np.float32),
+        )
+
     edges = shard_edges_global(edges_np, mesh)
     Twc = make_global(Twc0, mesh, P())
     fixed = make_global(fixed_np, mesh, P())
@@ -219,6 +420,7 @@ def main(argv=None):
         "processes": args.num_processes,
         "global_devices": jax.device_count(),
         "final_cost": float(fetch_replicated(cost)),
+        "exchanged_constraints": exchanged,
     }
 
     # recovery check vs ground truth (measurements are noise-free, so the

@@ -76,3 +76,26 @@ def test_two_process_distributed_pose_graph():
         assert r["max_diff_vs_dense"] < 5e-3
         # and recovers the ground-truth poses (noise-free measurements)
         assert r["max_translation_err"] < 5e-3
+
+
+@pytest.mark.slow
+def test_two_process_async_constraint_exchange():
+    """Loop constraints discovered on one host reach the others over the
+    asynchronous DCN channel (TCP, no collective/barrier) BEFORE the solve:
+    each process withholds one loop edge, publishes it, merges the peers'
+    edges, and the distributed solve must still match the full-edge-set
+    dense solve (SURVEY.md §2.7 P7's 'loop-closure constraints exchanged
+    over DCN asynchronously')."""
+    port = _free_port()
+    ex_port = _free_port()
+    procs = _launch(2, port,
+                    extra=("--exchange-base-port", str(ex_port)))
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        line = [l for l in out.splitlines() if l.startswith("{")][-1]
+        results.append(json.loads(line))
+    for r in results:
+        assert r["exchanged_constraints"] == 1, r
+        assert r["check_ok"], r
