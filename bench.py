@@ -127,17 +127,40 @@ def measure_full_slam(n_frames: int = 96) -> dict:
         system.finish()
         return system
 
+    B = 8
+
+    def run_batched():
+        system = SlamSystem(cam, cfg, seed=0)
+        for i in range(0, n_frames, B):
+            chunk = frames[i:i + B]
+            system.track_batch([c[0] for c in chunk],
+                               [c[1] for c in chunk],
+                               [c[2] for c in chunk])
+        system.finish()
+        return system
+
     t0 = time.perf_counter()
     run()                      # warm-up: compiles
     print(f"full-SLAM warmup: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     t0 = time.perf_counter()
     system = run()
     dt = time.perf_counter() - t0
-    return {
+    out = {
         "full_slam_fps_1chip": round(n_frames / dt, 2),
         "full_slam_keyframes": system.store.count,
         "full_slam_loops_closed": system.loops_closed,
     }
+    # batched deployment shape: B frames per dispatch, on-device KF gate
+    t0 = time.perf_counter()
+    run_batched()              # warm-up: compiles the scan
+    print(f"batched full-SLAM warmup: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+    t0 = time.perf_counter()
+    sys_b = run_batched()
+    dt = time.perf_counter() - t0
+    out["full_slam_batched_fps_1chip"] = round(n_frames / dt, 2)
+    out["full_slam_batched_keyframes"] = sys_b.store.count
+    return out
 
 
 def main():

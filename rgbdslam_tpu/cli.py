@@ -36,6 +36,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--out-dir", default="slam_out")
     p.add_argument("--odometry-only", action="store_true",
                    help="tracking only: no pose graph / loop closure")
+    p.add_argument("--batch", type=int, default=1, metavar="B",
+                   help="batched full SLAM: B frames per device dispatch "
+                        "(scan-fused VO + on-device keyframe gate)")
     p.add_argument("--pipelined", type=int, default=0, metavar="B",
                    help="odometry-only scan pipeline: B frames per device "
                         "dispatch (maximum throughput; no keyframes/backend)")
@@ -200,13 +203,35 @@ def main(argv=None) -> int:
         print(json.dumps(result))
         return 0
 
-    track = system.track if system is not None else tracker.track
-    for i, (ts, gray, depth) in enumerate(frame_iter):
-        with timer.stage("track"):
-            track(ts, gray, depth)
-        if (i + 1) % 50 == 0:
-            print(f"frame {i+1}/{n}  KFs={len(tracker.keyframes)} "
-                  f"inliers={tracker._last_inliers}", file=sys.stderr)
+    if args.batch > 1:
+        # batched full SLAM: B frames per device dispatch (scan-fused VO +
+        # on-device keyframe gate; backend per flagged keyframe)
+        chunk = []
+        done = 0
+        for item in frame_iter:
+            chunk.append(item)
+            if len(chunk) == args.batch:
+                with timer.stage("track"):
+                    tracker.track_batch([c[0] for c in chunk],
+                                        [c[1] for c in chunk],
+                                        [c[2] for c in chunk])
+                done += len(chunk)
+                chunk = []
+                print(f"frame {done}/{n}  KFs={len(tracker.keyframes)}",
+                      file=sys.stderr)
+        if chunk:
+            with timer.stage("track"):
+                tracker.track_batch([c[0] for c in chunk],
+                                    [c[1] for c in chunk],
+                                    [c[2] for c in chunk])
+    else:
+        track = system.track if system is not None else tracker.track
+        for i, (ts, gray, depth) in enumerate(frame_iter):
+            with timer.stage("track"):
+                track(ts, gray, depth)
+            if (i + 1) % 50 == 0:
+                print(f"frame {i+1}/{n}  KFs={len(tracker.keyframes)} "
+                      f"inliers={tracker._last_inliers}", file=sys.stderr)
 
     if system is not None:
         with timer.stage("final_optimize"):

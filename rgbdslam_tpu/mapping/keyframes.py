@@ -54,12 +54,28 @@ class KeyframeStore:
         """Insert from a host copy of pack_features_for_host's (N, nd+8)
         layout (the fused keyframe program delivers it inside its single
         result blob)."""
+        k = self.register(timestamp, Tcw)
+        self.fill_features(k, packed, nd, binary)
+        return k
+
+    def register(self, timestamp: float, Tcw: np.ndarray) -> int:
+        """Reserve the next keyframe slot with its pose/timestamp only (the
+        pipelined backend registers at dispatch so radius searches for
+        subsequent keyframes in the same batch see this one; feature rows
+        land later via fill_features when the device blob is fetched)."""
         if self.count >= self.max_keyframes:
             raise RuntimeError(
                 f"keyframe budget exceeded ({self.max_keyframes}); raise "
                 "KeyframeConfig.max_keyframes"
             )
         k = self.count
+        self.poses_cw[k] = np.asarray(Tcw, dtype=np.float32)
+        self.timestamps[k] = timestamp
+        self.count += 1
+        return k
+
+    def fill_features(self, k: int, packed: np.ndarray, nd: int,
+                      binary: bool) -> None:
         uv = packed[:, 0:2]
         xyz = packed[:, 2:5]
         desc = np.ascontiguousarray(packed[:, 5:5 + nd])
@@ -78,10 +94,6 @@ class KeyframeStore:
         self.uv[k] = uv
         self.intensity[k] = intensity
         self.smooth[k] = smooth
-        self.poses_cw[k] = np.asarray(Tcw, dtype=np.float32)
-        self.timestamps[k] = timestamp
-        self.count += 1
-        return k
 
     # ------------------------------------------------------------------
     def centers(self) -> np.ndarray:

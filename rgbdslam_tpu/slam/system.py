@@ -67,6 +67,10 @@ class SlamSystem:
                                         #  Drawer/Viewer.cpp:113-120)
         self._key = jax.random.PRNGKey(seed + 12345)
         self.tracker.on_keyframe = self._on_keyframe
+        # pipelined variant for batched tracking: dispatch every keyframe of
+        # a batch back-to-back, complete them after one stacked blob fetch
+        self.tracker.on_keyframe_dispatch = self._kf_dispatch
+        self.tracker.on_keyframe_complete = self._kf_complete
         if cfg.use_relocalization:
             self.tracker.relocalize_fn = self._relocalize
 
@@ -196,6 +200,12 @@ class SlamSystem:
     def track(self, timestamp: float, gray, depth) -> np.ndarray:
         return self.tracker.track(timestamp, gray, depth)
 
+    def track_batch(self, timestamps, grays, depths) -> np.ndarray:
+        """B frames per device dispatch (scan-fused VO + on-device keyframe
+        gate; the backend still runs per flagged keyframe). Returns
+        (B, 4, 4) Tcw."""
+        return self.tracker.track_batch(timestamps, grays, depths)
+
     # ------------------------------------------------------------------
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
@@ -238,19 +248,38 @@ class SlamSystem:
         fetch covers bank insertion, store packing, proximity verification,
         track extension and BoW scoring; everything after is host numpy and
         the (rare) loop-closure solves."""
+        h = self._kf_dispatch(k, timestamp, f, Tcw)
+        self._kf_complete(h, np.asarray(h["blob"]))
+
+    def _kf_dispatch(self, k: int, timestamp: float, f: FrameFeatures,
+                     Tcw: np.ndarray) -> dict:
+        """Dispatch phase: register the keyframe's pose (so same-batch
+        successors see it in radius searches and edge dedup), compute the
+        proximity candidates, and launch the fused device program — no
+        fetch. Batched tracking dispatches every keyframe of a batch
+        back-to-back (the donated bank chains them on device) and fetches
+        all blobs in one stacked transfer."""
         pg_cfg = self.cfg.pose_graph
-        N = f.uv.shape[0]
-        nd = f.desc.shape[1]
         binary_desc = f.desc.dtype == jnp.uint32
         self._ensure_bank(f)
         bow_on = self._bow_dev is not None
+
+        store_k = self.store.register(timestamp, Tcw)
+        assert store_k == k
+        vk = self.graph.add_vertex(np.linalg.inv(Tcw))
+        assert vk == k
+        connections = set()
+        if k > 0:
+            # odometry edge (createEdgeWithReference)
+            self.graph.add_odometry_edge(k, k - 1)
+            connections.add(k - 1)
 
         # proximity candidates (createLocalEdges' radius search) from host
         # poses — the kd-tree replacement (Solver/PoseGraph.cpp:157-184)
         cands = []
         if k > 0:
             ck = -Tcw[:3, :3].T @ Tcw[:3, 3]
-            c_all = self.store.centers()
+            c_all = self.store.centers()[:k]
             d = np.linalg.norm(c_all - ck, axis=-1)
             order = np.argsort(d)
             cands = [int(j) for j in order
@@ -276,7 +305,25 @@ class SlamSystem:
             D, X, V, B, f, meta, words, idf, self._key,
         )
         self._bank = (D, X, V, B)
-        blob = np.asarray(blob)   # the ONE per-keyframe fetch
+        return {"k": k, "f": f, "Tcw": Tcw, "cands": cands,
+                "connections": connections, "bow_on": bow_on,
+                "binary": binary_desc, "N": f.uv.shape[0],
+                "nd": f.desc.shape[1], "blob": blob}
+
+    def _kf_complete(self, h: dict, blob: np.ndarray):
+        """Completion phase: host bookkeeping from the fetched blob —
+        store rows, proximity edges, BoW registration, landmark tracks,
+        loop detection and the (rare) solves."""
+        k = h["k"]
+        Tcw = h["Tcw"]
+        cands = h["cands"]
+        connections = h["connections"]
+        bow_on = h["bow_on"]
+        binary_desc = h["binary"]
+        N, nd = h["N"], h["nd"]
+        pg_cfg = self.cfg.pose_graph
+        C = pg_cfg.max_proximity_candidates
+
         off = N * (nd + 8)
         ps = blob[:off].reshape(N, nd + 8)
         ext = blob[off:off + 2 * N].reshape(2, N)
@@ -285,22 +332,14 @@ class SlamSystem:
         off += C * 19
         vec = scores = None
         if bow_on:
-            Vw = B.shape[1]   # actual vocab width (a loaded vocabulary may
-                              # differ from LoopConfig.vocab_size)
+            Vw = self._bank[3].shape[1]   # actual vocab width (a loaded
+            #                               vocabulary may differ from
+            #                               LoopConfig.vocab_size)
             vec = blob[off:off + Vw]
             scores = blob[off + Vw:]
 
-        store_k = self.store.add_packed(timestamp, ps, nd, binary_desc, Tcw)
-        assert store_k == k
-        vk = self.graph.add_vertex(np.linalg.inv(Tcw))
-        assert vk == k
+        self.store.fill_features(k, ps, nd, binary_desc)
         self.kfs_since_loop += 1
-
-        connections = set()
-        if k > 0:
-            # odometry edge (createEdgeWithReference)
-            self.graph.add_odometry_edge(k, k - 1)
-            connections.add(k - 1)
 
         # proximity edges (createLocalEdges)
         T_b = ver[:, :16].reshape(-1, 4, 4)
@@ -341,8 +380,8 @@ class SlamSystem:
                 # device BoW bank with the host table
                 self._bow_dev = (jnp.asarray(self.loop_detector.words),
                                  jnp.asarray(self.loop_detector.idf))
-                self._bank = (D, X, V,
-                              jnp.asarray(self.loop_detector.bow_db))
+                self._bank = self._bank[:3] + (
+                    jnp.asarray(self.loop_detector.bow_db),)
 
         # landmark-track extension (Landmark::addObservation analog),
         # already computed on device by the fused program
@@ -363,7 +402,7 @@ class SlamSystem:
         # loop detection (detectLoop)
         loop_found = False
         if self.kfs_since_loop >= self.cfg.loop.min_kfs_since_loop:
-            if self._detect_and_close_loop(k, f, scores):
+            if self._detect_and_close_loop(k, h["f"], scores):
                 self.kfs_since_loop = 0
                 loop_found = True
 

@@ -130,6 +130,63 @@ class Tracker:
         self._thr_dev = None
         self._thr_val = None
 
+        # ---- batched full-SLAM step: B frames per dispatch ----------------
+        # The per-frame path pays one dispatch + one fetch per frame — each a
+        # full RPC round trip on a remote-TPU link. Here a lax.scan chains B
+        # frames (features, match, RANSAC, GICP select) AND evaluates the
+        # keyframe gate on device (accumulated motion vs the last KF carried
+        # as D = Tcw_cur Twc_kf), so a batch costs ONE dispatch + ONE (B, 21)
+        # fetch; per-frame features come back stacked and stay on device for
+        # the backend's fused keyframe program. Batched-mode divergences
+        # (documented): no second-reference retry (a failed frame holds the
+        # pose, recover() semantics) and backend pose corrections apply at
+        # batch boundaries — the reference's backend thread is asynchronous
+        # anyway, so batch-delayed corrections match its semantics class.
+        icp_cfg, use_icp = cfg.icp, cfg.use_icp_refinement
+        kf_cfg = cfg.keyframe
+
+        def _batch_body(carry, inp):
+            f_prev, D, key = carry
+            g, d, thr = inp
+            key, sub = jax.random.split(key)
+            f_cur = self._extractor.build(g, d, thr)
+            res, p1, p2, C1, C2, packed = _fused(f_prev, f_cur, sub)
+            T21 = res.T21
+            if use_icp:
+                T_g, conv, _ = gicp_refine(p1, p2, res.inliers, T21,
+                                           None, icp_cfg, C1=C1, C2=C2)
+                use = (res.rmse >= icp_cfg.rmse_trigger) & conv & res.success
+                T21 = jnp.where(use, T_g, T21)
+            T21_eff = jnp.where(res.success, T21, jnp.eye(4, dtype=T21.dtype))
+            D_new = T21_eff @ D
+            tn = jnp.linalg.norm(D_new[:3, 3])
+            cosr = jnp.clip(0.5 * (jnp.trace(D_new[:3, :3]) - 1.0),
+                            -1.0, 1.0)
+            rn = jnp.arccos(cosr)
+            kf = res.success & ((tn > kf_cfg.min_translation)
+                                | (rn > kf_cfg.min_rotation))
+            D_out = jnp.where(kf, jnp.eye(4, dtype=D.dtype), D_new)
+            out = jnp.concatenate([
+                T21.reshape(16),
+                jnp.stack([res.success.astype(jnp.float32),
+                           res.rmse.astype(jnp.float32),
+                           res.num_inliers.astype(jnp.float32),
+                           kf.astype(jnp.float32),
+                           jnp.sum(f_cur.valid).astype(jnp.float32)]),
+            ])
+            return (f_cur, D_out, key), (f_cur, out)
+
+        def _batch_step(f_ref, D0, grays, depths, key, thr):
+            thrs = jnp.broadcast_to(thr, grays.shape[:1])
+            (f_fin, D_fin, key), (feats, packed) = jax.lax.scan(
+                _batch_body, (f_ref, D0, key), (grays, depths, thrs)
+            )
+            return f_fin, key, feats, packed
+
+        self._batch_step = jax.jit(_batch_step)
+        self._slice_feats = jax.jit(
+            lambda f, i: jax.tree.map(lambda x: x[i], f))
+
         # keyframes: host registry (features + poses); device-side stores for
         # the backend live in mapping/keyframes.py
         self.keyframes: List[Tuple[float, FrameFeatures, np.ndarray]] = []
@@ -137,6 +194,11 @@ class Tracker:
         self.trajectory: List[TrackedFrame] = []
         self.velocity = np.eye(4, dtype=np.float32)  # motion model (Tracking.cpp:54)
         self.on_keyframe = None  # callback(kf_index, timestamp, features, Tcw)
+        # optional pipelined backend hooks (batched tracking): dispatch
+        # returns a handle with a lazy device blob; complete(handle, blob_row)
+        # finishes the host bookkeeping after ONE stacked fetch per batch
+        self.on_keyframe_dispatch = None
+        self.on_keyframe_complete = None
         # LOST-state relocalization hook, installed by SlamSystem:
         # callback(FrameFeatures) -> (ok, Tcw). The reference's LOST never
         # persists (recover() holds the pose, System/Tracking.cpp:195-199);
@@ -197,6 +259,105 @@ class Tracker:
             TrackedFrame(timestamp, Tcw.copy(), Tcr, ref_kf_idx, self._last_inliers)
         )
         return Tcw
+
+    # ------------------------------------------------------------------
+    def track_batch(self, timestamps, grays, depths) -> np.ndarray:
+        """Process B frames with ONE device dispatch + ONE small fetch.
+
+        The deployment-shape counterpart of track(): the VO chain and the
+        keyframe gate run in a lax.scan on device; the host completes each
+        frame's bookkeeping (trajectory, keyframe backend, relocalization)
+        from the (B, 21) packed result. Returns Tcw (B, 4, 4).
+
+        Divergences from the per-frame path (see _batch_step): no
+        second-reference retry; corrections land at batch boundaries.
+        """
+        B = len(timestamps)
+        out = np.zeros((B, 4, 4), np.float32)
+        start = 0
+        if self.state is TrackerState.NOT_INITIALIZED:
+            f0 = self._extractor(grays[0], depths[0])
+            Tcw0 = np.eye(4, dtype=np.float32)
+            self._initialize(timestamps[0], f0, Tcw0)
+            self.trajectory.append(
+                TrackedFrame(timestamps[0], Tcw0,
+                             np.eye(4, dtype=np.float32), 0, 0))
+            out[0] = Tcw0
+            start = 1
+            if B == 1:
+                return out
+        if self._thr_val != self._extractor.threshold:
+            self._thr_val = self._extractor.threshold
+            self._thr_dev = jnp.float32(self._thr_val)
+
+        # device scan over the remaining frames
+        gs = jnp.stack([jnp.asarray(g) for g in grays[start:]])
+        ds = jnp.stack([jnp.asarray(d) for d in depths[start:]])
+        D0 = jnp.asarray(
+            (self.ref_Tcw @ np.linalg.inv(self.last_kf_Tcw)).astype(np.float32))
+        f_fin, self._key, feats, packed = self._batch_step(
+            self.ref_frame, D0, gs, ds, self._key, self._thr_dev)
+        pk = np.asarray(packed)          # the ONE per-batch fetch
+
+        Tcw = self.ref_Tcw.copy()
+        pending = []                     # dispatched keyframe handles
+        for i in range(B - start):
+            ts = timestamps[start + i]
+            T21 = pk[i, :16].reshape(4, 4)
+            success = bool(pk[i, 16] > 0.5)
+            n_inl = int(pk[i, 18]) if success else 0
+            kf_flag = bool(pk[i, 19] > 0.5)
+            self.stats.frames += 1
+            self.stats.acum_inliers += n_inl
+            self._last_inliers = n_inl
+            if success:
+                Tcw = (T21 @ Tcw).astype(np.float32)
+                self.consecutive_failures = 0
+                if self.state is TrackerState.LOST:
+                    self.state = TrackerState.OK
+            else:
+                self.stats.failures += 1
+                self.consecutive_failures += 1
+                if (self.cfg.use_relocalization
+                        and self.relocalize_fn is not None
+                        and self.consecutive_failures >= self.cfg.lost_after):
+                    self.state = TrackerState.LOST
+                    ok, Tcw_r = self.relocalize_fn(
+                        self._slice_feats(feats, i))
+                    if ok:
+                        Tcw = np.asarray(Tcw_r, dtype=np.float32)
+                        self.state = TrackerState.OK
+                        self.consecutive_failures = 0
+                        self.stats.relocalizations += 1
+            if kf_flag and self.state is TrackerState.OK and self.keyframes:
+                f_i = self._slice_feats(feats, i)
+                if self.on_keyframe_dispatch is not None:
+                    # pipelined backend: dispatch now (device-chained via the
+                    # donated bank), complete after ONE stacked blob fetch
+                    self.keyframes.append((ts, f_i, Tcw.copy()))
+                    self.last_kf_Tcw = Tcw.copy()
+                    pending.append(self.on_keyframe_dispatch(
+                        len(self.keyframes) - 1, ts, f_i, Tcw.copy()))
+                else:
+                    self._create_keyframe(ts, f_i, Tcw)
+                    # adopt any backend correction of the keyframe's pose
+                    Tcw = self.keyframes[-1][2].copy()
+            ref_kf_idx = len(self.keyframes) - 1
+            Tcr = Tcw @ np.linalg.inv(self.keyframes[ref_kf_idx][2])
+            self.trajectory.append(
+                TrackedFrame(ts, Tcw.copy(), Tcr, ref_kf_idx, n_inl))
+            out[start + i] = Tcw
+        # slide references to the batch's last frame
+        self.velocity = Tcw @ np.linalg.inv(self.ref_Tcw)
+        self.ref2_frame, self.ref2_Tcw = self.ref_frame, self.ref_Tcw
+        self.ref_frame, self.ref_Tcw = f_fin, Tcw.copy()
+        self._extractor.adapt(int(pk[B - start - 1, 20]))
+        # complete the batch's keyframes: ONE stacked fetch for all blobs
+        if pending:
+            blobs = np.asarray(jnp.stack([h["blob"] for h in pending]))
+            for h, row in zip(pending, blobs):
+                self.on_keyframe_complete(h, row)
+        return out
 
     # ------------------------------------------------------------------
     def _initialize(self, timestamp: float, f: FrameFeatures, Tcw: np.ndarray):

@@ -184,3 +184,44 @@ def test_distorted_camera_end_to_end():
     # edges (where fr1 distortion is several pixels) but must stay in class
     assert rmse_d < max(2.5 * rmse_u, 0.12), (
         f"distorted ATE {rmse_d} vs undistorted {rmse_u}")
+
+
+def test_batched_tracking_matches_per_frame():
+    """track_batch (B frames per dispatch, on-device keyframe gate,
+    pipelined backend dispatch/complete) must reproduce the per-frame
+    system's trajectory quality — same keyframes, same loop closures,
+    ATE in the same class (exact equality is not expected: batched mode
+    has no second-reference retry and corrections land at batch
+    boundaries)."""
+    cfg = SlamConfig(
+        extractor=ExtractorConfig(num_features=512, num_levels=3,
+                                  cell_size=8, fast_threshold=15.0),
+        loop=LoopConfig(id_interval=12, min_kfs_since_loop=10,
+                        vocab_size=256),
+    )
+    n, B = 48, 8
+    ds = SyntheticDataset(n_frames=n, cam=CAM, trajectory="orbit")
+    frames = [ds.grab(i) for i in range(n)]
+
+    s1 = SlamSystem(CAM, cfg, seed=0)
+    for ts, g, d in frames:
+        s1.track(ts, g, d)
+    s1.finish()
+    t1, p1 = s1.camera_trajectory()
+    r1, _ = ate_rmse(t1, p1, ds.timestamps, ds.poses_twc)
+
+    s2 = SlamSystem(CAM, cfg, seed=0)
+    for i in range(0, n, B):
+        c = frames[i:i + B]
+        s2.track_batch([x[0] for x in c], [x[1] for x in c],
+                       [x[2] for x in c])
+    s2.finish()
+    t2, p2 = s2.camera_trajectory()
+    r2, _ = ate_rmse(t2, p2, ds.timestamps, ds.poses_twc)
+
+    assert len(t2) == n
+    # keyframe counts agree up to gate jitter (the in-scan gate can't see
+    # same-batch backend pose corrections)
+    assert abs(s2.store.count - s1.store.count) <= 0.2 * s1.store.count + 1
+    assert r1 < 0.12 and r2 < 0.12, (r1, r2)
+    assert r2 < max(1.5 * r1, 0.05), (r2, r1)
