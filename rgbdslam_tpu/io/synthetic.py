@@ -61,9 +61,38 @@ def texture(p: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+# --- multi-room world ---------------------------------------------------
+# The single box room is an easy proxy (everything visible from everywhere,
+# no occlusion, no genuinely new viewpoints); the multi-room world is a
+# 12 x 4 x 6 m shell split by a doorway wall, with solid crates/pillars in
+# each room — occlusion boundaries, depth discontinuities, and loop closures
+# that must survive visiting a genuinely different place in between.
+MULTIROOM_HALF = jnp.array([6.0, 2.0, 3.0], dtype=jnp.float32)
+MULTIROOM_BOXES = np.array(
+    [
+        # dividing wall at x ~ 0, full height, doorway gap |z| < 0.7
+        [[-0.1, -2.0, -3.0], [0.1, 2.0, -0.7]],
+        [[-0.1, -2.0, 0.7], [0.1, 2.0, 3.0]],
+        # room A (x < 0): corner crates + a pillar
+        [[-5.6, -2.0, 1.9], [-4.7, -0.4, 2.7]],
+        [[-5.4, -2.0, -2.7], [-4.6, -0.9, -2.0]],
+        [[-2.3, -2.0, -2.8], [-1.7, 0.6, -2.2]],
+        # room B (x > 0): crates + a pillar
+        [[4.6, -2.0, 1.8], [5.4, -0.3, 2.6]],
+        [[4.8, -2.0, -2.7], [5.6, -1.0, -1.9]],
+        [[1.7, -2.0, 2.2], [2.3, 0.5, 2.8]],
+    ],
+    dtype=np.float32,
+)
+
+
 @functools.partial(jax.jit, static_argnums=0)
-def render_frame(cam: Camera, Twc: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Ray-cast one RGB-D frame of the box room.
+def render_frame(cam: Camera, Twc: jnp.ndarray,
+                 room_half: jnp.ndarray | None = None,
+                 boxes: jnp.ndarray | None = None,
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Ray-cast one RGB-D frame of the box room (optionally with solid
+    interior boxes — the multi-room world).
 
     Args:
       cam: static camera intrinsics. A camera WITH distortion coefficients
@@ -72,6 +101,8 @@ def render_frame(cam: Camera, Twc: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarra
         physically what a real lens does), so fr1/fr2-class undistortion
         chains (Core/Frame.cpp:251-281) are exercisable end-to-end.
       Twc: camera-to-world pose (4, 4).
+      room_half: (3,) shell half-extents (default ROOM_HALF).
+      boxes: optional (Nb, 2, 3) solid AABBs [min, max] inside the shell.
 
     Returns:
       gray [H, W] float32 in [0, 255], depth [H, W] float32 meters (camera z).
@@ -94,13 +125,15 @@ def render_frame(cam: Camera, Twc: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarra
     o = Twc[:3, 3]
     d_world = d_cam @ R.T  # (H, W, 3)
 
+    half = ROOM_HALF if room_half is None else room_half
+
     # Intersect with the 6 planes of the box from inside: for each axis and
     # sign, t = (bound - o)/d. The closest positive t whose hit stays inside
     # the box is the visible wall.
     t_best = jnp.full((h, w), jnp.inf, dtype=jnp.float32)
     for axis in range(3):
         for sign in (-1.0, 1.0):
-            bound = sign * ROOM_HALF[axis]
+            bound = sign * half[axis]
             denom = d_world[..., axis]
             t = (bound - o[axis]) / jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
             hit = o + t[..., None] * d_world
@@ -108,8 +141,22 @@ def render_frame(cam: Camera, Twc: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarra
             ok = t > 1e-3
             for other in range(3):
                 if other != axis:
-                    ok = ok & (jnp.abs(hit[..., other]) <= ROOM_HALF[other] + 1e-4)
+                    ok = ok & (jnp.abs(hit[..., other]) <= half[other] + 1e-4)
             t_best = jnp.where(ok & (t < t_best), t, t_best)
+
+    if boxes is not None:
+        # solid AABBs, slab method: entry distance t_near where the ray
+        # first crosses all three slabs (camera is outside every solid)
+        inv_d = 1.0 / jnp.where(jnp.abs(d_world) < 1e-9, 1e-9, d_world)
+        bmin = boxes[:, 0]                       # (Nb, 3)
+        bmax = boxes[:, 1]
+        t0 = (bmin[None, None] - o) * inv_d[..., None, :]   # (H, W, Nb, 3)
+        t1 = (bmax[None, None] - o) * inv_d[..., None, :]
+        t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)       # (H, W, Nb)
+        t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        hit = (t_near < t_far) & (t_near > 1e-3)
+        t_box = jnp.min(jnp.where(hit, t_near, jnp.inf), axis=-1)  # (H, W)
+        t_best = jnp.minimum(t_best, t_box)
 
     depth = jnp.where(jnp.isfinite(t_best), t_best, 0.0)
     hit_pts = o + t_best[..., None] * d_world
@@ -154,6 +201,29 @@ def orbit_trajectory(n_frames: int, radius: float = 1.2, height_amp: float = 0.2
         look_dir = np.array([-np.sin(a), 0.15 * np.cos(2 * a), np.cos(a)])
         target = eye + look_dir
         poses.append(look_at_pose(eye, target))
+    return np.stack(poses)
+
+
+def tour_trajectory(n_frames: int, loops: float = 1.0) -> np.ndarray:
+    """A figure-eight tour through BOTH rooms of the multi-room world,
+    crossing the doorway (x = 0) at z = 0 twice per revolution: the loop-
+    closure case where the revisited place was left for a genuinely
+    different one in between. Returns Twc [N, 4, 4]."""
+    poses = []
+    for i in range(n_frames):
+        a = 2.0 * np.pi * loops * i / n_frames
+        eye = np.array([
+            4.2 * np.sin(a),
+            0.25 * np.sin(2 * a),
+            1.6 * np.sin(2 * a),
+        ])
+        tangent = np.array([
+            4.2 * np.cos(a),
+            0.5 * np.cos(2 * a),
+            3.2 * np.cos(2 * a),
+        ])
+        tangent /= np.linalg.norm(tangent)
+        poses.append(look_at_pose(eye, eye + tangent))
     return np.stack(poses)
 
 
@@ -207,10 +277,17 @@ class SyntheticDataset:
         self.fps = fps
         self.noise = noise
         self._seed = seed
+        self._room_half = None
+        self._boxes = None
         if trajectory == "orbit":
             self.poses_twc = orbit_trajectory(n_frames, loops=loops)
         elif trajectory == "sweep":
             self.poses_twc = sweep_trajectory(n_frames)
+        elif trajectory == "tour":
+            # multi-room world: two rooms, doorway wall, solid obstacles
+            self.poses_twc = tour_trajectory(n_frames, loops=loops)
+            self._room_half = MULTIROOM_HALF
+            self._boxes = jnp.asarray(MULTIROOM_BOXES)
         else:
             raise ValueError(f"unknown trajectory {trajectory!r}")
         self.timestamps = np.arange(n_frames, dtype=np.float64) / fps
@@ -219,7 +296,8 @@ class SyntheticDataset:
         return len(self.poses_twc)
 
     def grab(self, i: int):
-        gray, depth = render_frame(self.cam, jnp.asarray(self.poses_twc[i]))
+        gray, depth = render_frame(self.cam, jnp.asarray(self.poses_twc[i]),
+                                   self._room_half, self._boxes)
         if self.noise:
             key = jax.random.fold_in(jax.random.PRNGKey(self._seed), i)
             gray, depth = apply_sensor_noise(self.cam, gray, depth, key)
