@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rgbdslam_tpu.geometry import se3
 from rgbdslam_tpu.geometry.camera import Camera, SYNTHETIC
 
 ROOM_HALF = jnp.array([3.0, 2.0, 3.0], dtype=jnp.float32)  # box half-extents (x, y, z)

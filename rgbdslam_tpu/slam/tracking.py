@@ -28,7 +28,7 @@ from rgbdslam_tpu.frontend.matcher import gather_matched_points, match_frames
 from rgbdslam_tpu.geometry.camera import Camera
 from rgbdslam_tpu.solvers.dense_icp import dense_icp
 from rgbdslam_tpu.solvers.icp import gicp_refine
-from rgbdslam_tpu.solvers.ransac_se3 import RansacResult, ransac_se3
+from rgbdslam_tpu.solvers.ransac_se3 import ransac_se3
 
 
 class TrackerState(enum.Enum):
