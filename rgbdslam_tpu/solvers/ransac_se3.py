@@ -284,13 +284,20 @@ def ransac_se3(
     n = p1.shape[0]
     H, S = cfg.num_hypotheses, cfg.sample_size
 
-    logits = jnp.where(valid, 0.0, -jnp.inf)
-    # (H, S) indices of sampled matches; degenerate/duplicate draws simply
-    # produce low-scoring hypotheses. If nothing is valid, sampling returns
-    # arbitrary indices and `success` below is False anyway.
+    # (H, S) indices of sampled matches, uniform over the VALID slots:
+    # compact the valid indices and draw H*S uniform ints — a categorical
+    # over N logits materializes an (H*S, N) gumbel field (~1M RNG draws
+    # per call) for the same distribution; this form draws H*S.
+    # Degenerate/duplicate draws simply produce low-scoring hypotheses; if
+    # nothing is valid, draws hit slot 0 and `success` below is False anyway.
     any_valid = jnp.any(valid)
-    safe_logits = jnp.where(any_valid, logits, jnp.zeros_like(logits))
-    idx = jax.random.categorical(key, safe_logits, shape=(H, S))
+    pos = jnp.cumsum(valid) - 1
+    cand = jnp.zeros((n,), jnp.int32).at[
+        jnp.where(valid, pos, n)
+    ].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+    n_valid = jnp.maximum(jnp.sum(valid), 1)
+    draws = jax.random.randint(key, (H, S), 0, n_valid)
+    idx = cand[draws]
 
     sp1 = p1[idx]                      # (H, S, 3)
     sp2 = p2[idx]
