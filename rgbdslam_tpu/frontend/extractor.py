@@ -144,9 +144,9 @@ class Extractor:
         # over-detection at the strongest N.
         for _ in range(5):
             before = self.threshold
-            self.adapt(int(f.valid.sum()))
-            if int(f.valid.sum()) >= self.target_min or \
-                    self.threshold >= before - 1e-9:
+            n_valid = int(f.valid.sum())   # one device fetch per iteration
+            self.adapt(n_valid)
+            if n_valid >= self.target_min or self.threshold >= before - 1e-9:
                 break
             f = self.build(gray, depth, self.threshold)
         return f

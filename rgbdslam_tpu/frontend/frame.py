@@ -188,6 +188,7 @@ def _multiscale_detect_describe(gray, cfg: ExtractorConfig, thr, min_response,
             min_border=max(cfg.min_border, cfg.brief_patch_size // 2 + 1),
             use_fast_gate=use_fast_gate,
             response=response,
+            subpixel=cfg.subpixel,
         )
         blurred_l = image_ops.gaussian_blur(img_l, sigma=2.0, radius=3)
         desc_l = _describe(blurred_l, img_l, kp_l.uv, cfg, descriptor)

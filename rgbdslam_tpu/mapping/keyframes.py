@@ -35,14 +35,9 @@ class KeyframeStore:
 
     def add(self, timestamp: float, f: FrameFeatures, Tcw: np.ndarray) -> int:
         """Insert a keyframe; returns its index (Map::addKeyFrame,
-        Core/Map.cpp analog)."""
-        if self.count >= self.max_keyframes:
-            raise RuntimeError(
-                f"keyframe budget exceeded ({self.max_keyframes}); raise "
-                "KeyframeConfig.max_keyframes"
-            )
-        # ONE device->host transfer for the whole feature pytree (a tuple
-        # device_get still fetches each array in its own tunnel RPC)
+        Core/Map.cpp analog). Budget enforcement lives in register().
+        ONE device->host transfer for the whole feature pytree (a tuple
+        device_get still fetches each array in its own tunnel RPC)."""
         from rgbdslam_tpu.frontend.frame import pack_features_for_host
 
         packed = np.asarray(pack_features_for_host(f))

@@ -292,19 +292,21 @@ def detect_keypoints_level(
     use_fast_gate: bool = True,
     use_pallas: bool = True,
     response: str = "fast_st",
+    subpixel: bool = False,
 ) -> Keypoints:
     """Single-pyramid-level detection into a fixed `quota` budget, in LEVEL
     pixel coordinates (the multi-scale ORB path detects per level with a
     per-level allocation + per-cell spatial balancing — the grid best-per-cell
     reduction plays DistributeOctTree's role,
-    Features/ORBextractor.cpp:421-611)."""
+    Features/ORBextractor.cpp:421-611). `subpixel` refines winners by the
+    same 3-point quadratic fit as detect_keypoints."""
     h, w = img.shape
     if response == "fast_st":
-        score, _raw = masked_score_map(img, fast_threshold,
-                                       use_fast_gate=use_fast_gate,
-                                       use_pallas=use_pallas)
+        score, raw = masked_score_map(img, fast_threshold,
+                                      use_fast_gate=use_fast_gate,
+                                      use_pallas=use_pallas)
     else:
-        score, _raw = response_masked_score(img, response)
+        score, raw = response_masked_score(img, response)
     yy = jnp.arange(h, dtype=jnp.float32)[:, None]
     xx = jnp.arange(w, dtype=jnp.float32)[None, :]
     inb = ((xx >= min_border) & (xx < w - min_border)
@@ -329,6 +331,14 @@ def detect_keypoints_level(
     top_scores, top_idx = jax.lax.top_k(cell_max, k)
     uv = jnp.stack([u[top_idx], v[top_idx]], axis=-1)
     valid = jnp.isfinite(top_scores) & (top_scores > min_response)
+    if subpixel:
+        ui = jnp.clip(uv[:, 0].astype(jnp.int32), 0, w - 1)
+        vi = jnp.clip(uv[:, 1].astype(jnp.int32), 0, h - 1)
+        um, up = jnp.maximum(ui - 1, 0), jnp.minimum(ui + 1, w - 1)
+        vm, vp = jnp.maximum(vi - 1, 0), jnp.minimum(vi + 1, h - 1)
+        ox = _parabola_offset(raw[vi, um], raw[vi, ui], raw[vi, up])
+        oy = _parabola_offset(raw[vm, ui], raw[vi, ui], raw[vp, ui])
+        uv = uv + jnp.stack([ox, oy], axis=-1)
     if k < quota:
         pad = quota - k
         uv = jnp.concatenate([uv, jnp.zeros((pad, 2), jnp.float32)])

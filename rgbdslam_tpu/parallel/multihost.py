@@ -146,16 +146,19 @@ class ConstraintExchange:
     collective, no rendezvous — publish() never blocks on the consumer, and
     poll() drains whatever has arrived before the next solve.
 
-    Wire format per edge: '<iiff' header is not needed — fixed 76-byte
-    payload [a i32 | b i32 | weight f32 | Z 16xf32].
+    Wire format per edge: fixed 80-byte payload
+    [sender i32 | a i32 | b i32 | weight f32 | Z 16xf32] — the sender id
+    keys receiver-side dedup (two hosts may legitimately discover
+    constraints with identical content).
     """
 
-    _EDGE_BYTES = 4 + 4 + 4 + 64
+    _EDGE_BYTES = 4 + 4 + 4 + 4 + 64
 
-    def __init__(self, port: int, peers):
+    def __init__(self, port: int, peers, sender: int = 0):
         import socket
         import threading
 
+        self._sender = int(sender)
         self._peers = list(peers)          # "host:port" of every OTHER process
         self._rx = []
         self._lock = threading.Lock()
@@ -194,12 +197,13 @@ class ConstraintExchange:
             buf += chunk
             while len(buf) >= self._EDGE_BYTES:
                 rec, buf = buf[: self._EDGE_BYTES], buf[self._EDGE_BYTES:]
-                a = int(_np.frombuffer(rec[0:4], _np.int32)[0])
-                b = int(_np.frombuffer(rec[4:8], _np.int32)[0])
-                w = float(_np.frombuffer(rec[8:12], _np.float32)[0])
-                Z = _np.frombuffer(rec[12:], _np.float32).reshape(4, 4).copy()
+                snd = int(_np.frombuffer(rec[0:4], _np.int32)[0])
+                a = int(_np.frombuffer(rec[4:8], _np.int32)[0])
+                b = int(_np.frombuffer(rec[8:12], _np.int32)[0])
+                w = float(_np.frombuffer(rec[12:16], _np.float32)[0])
+                Z = _np.frombuffer(rec[16:], _np.float32).reshape(4, 4).copy()
                 with self._lock:
-                    self._rx.append((a, b, Z, w))
+                    self._rx.append((snd, a, b, Z, w))
 
     # -- send side --------------------------------------------------------
     def _conn_to(self, peer: str):
@@ -216,7 +220,8 @@ class ConstraintExchange:
     def publish(self, a: int, b: int, Z: np.ndarray, weight: float = 1.0):
         """Ship one constraint to every peer; best-effort (a dead peer is
         skipped — elastic, like any DCN-side channel must be)."""
-        rec = (np.int32(a).tobytes() + np.int32(b).tobytes()
+        rec = (np.int32(self._sender).tobytes()
+               + np.int32(a).tobytes() + np.int32(b).tobytes()
                + np.float32(weight).tobytes()
                + np.asarray(Z, np.float32).tobytes())
         for peer in self._peers:
@@ -336,6 +341,7 @@ def main(argv=None):
             args.exchange_base_port + pid,
             [f"localhost:{args.exchange_base_port + p}"
              for p in range(nproc) if p != pid],
+            sender=pid,
         )
         mine = E - nproc + pid
         received = {}
@@ -355,23 +361,25 @@ def main(argv=None):
                 ex.publish(int(edges_np.a[mine]), int(edges_np.b[mine]),
                            edges_np.Z[mine], float(edges_np.weight[mine]))
                 if len(received) == nproc - 1:
-                    ex.publish(-1 - pid, 0, np.eye(4, dtype=np.float32), 0.0)
+                    ex.publish(-1, 0, np.eye(4, dtype=np.float32), 0.0)
                 last_pub = time.time()
-            for (a, b, Z, w) in ex.poll():
+            for (snd, a, b, Z, w) in ex.poll():
                 if a < 0:
-                    acks.add(a)
+                    acks.add(snd)
                 else:
-                    received[(a, b, Z.tobytes())] = (a, b, Z, w)
+                    # dedup by DISCOVERING PROCESS (two hosts may publish
+                    # identical-content constraints; each still counts)
+                    received[snd] = (a, b, Z, w)
             time.sleep(0.01)
         # final ack: the exit condition can be met between timer ticks,
         # before this process ever sent its own ack
-        ex.publish(-1 - pid, 0, np.eye(4, dtype=np.float32), 0.0)
+        ex.publish(-1, 0, np.eye(4, dtype=np.float32), 0.0)
         for _ in range(100):   # drain any last in-flight acks
             if len(acks) >= nproc - 1:
                 break
-            for (a, b, Z, w) in ex.poll():
+            for (snd, a, b, Z, w) in ex.poll():
                 if a < 0:
-                    acks.add(a)
+                    acks.add(snd)
             time.sleep(0.01)
         ex.close()
         exchanged = len(received)
@@ -388,13 +396,11 @@ def main(argv=None):
         b_l = list(edges_np.b[: E - nproc])
         Z_l = list(edges_np.Z[: E - nproc])
         w_l = list(edges_np.weight[: E - nproc])
-        Z_mine = edges_np.Z[mine].astype(np.float32)
-        received[(int(edges_np.a[mine]), int(edges_np.b[mine]),
-                  Z_mine.tobytes())] = (
-            int(edges_np.a[mine]), int(edges_np.b[mine]),
-            Z_mine, float(edges_np.weight[mine]))
-        for key_ab in sorted(received):
-            a, b, Z, w = received[key_ab]
+        received[pid] = (int(edges_np.a[mine]), int(edges_np.b[mine]),
+                         edges_np.Z[mine].astype(np.float32),
+                         float(edges_np.weight[mine]))
+        for snd in sorted(received):
+            a, b, Z, w = received[snd]
             assert (a, b) in disc
             a_l.append(a)
             b_l.append(b)

@@ -221,6 +221,25 @@ class SlamSystem:
                 jnp.zeros((K, self.cfg.loop.vocab_size), jnp.float32),
             )
 
+    def rebuild_bank_from_store(self):
+        """Re-sync the device-resident keyframe bank (descriptors, points,
+        validity, BoW vectors) from the host store — required after a
+        checkpoint resume (utils/serialization.load_map), which restores the
+        host arrays only: without this, proximity/loop/relocalization
+        verification would match new frames against an all-zeros bank for
+        every pre-load keyframe."""
+        if self.store.count == 0:
+            return
+        ld = self.loop_detector
+        self._bank = (
+            jnp.asarray(self.store.desc),
+            jnp.asarray(self.store.xyz),
+            jnp.asarray(self.store.obs_valid),
+            jnp.asarray(ld.bow_db.astype(np.float32)),
+        )
+        if ld.words is not None:
+            self._bow_dev = (jnp.asarray(ld.words), jnp.asarray(ld.idf))
+
     def _verify_candidates(self, cands, f: FrameFeatures):
         """Batched match+RANSAC of bank KFs `cands` against frame `f` via the
         device bank; returns host arrays (T21 (C,4,4), ninl, ok, n_matches)
@@ -430,10 +449,19 @@ class SlamSystem:
         ld = self.loop_detector
         if ld.words is None or ld.count < 1:
             return False, None
-        vec = bow_vector(f.desc, f.obs_valid, ld.words, ld.idf)
-        scores = np.asarray(
-            bow_scores(vec, jnp.asarray(ld.bow_db[: ld.count]))
-        )
+        if self._bow_dev is not None and self._bank is not None:
+            # score against the device-resident BoW bank — re-uploading the
+            # host table (up to Kmax x V f32, ~8 MB) every LOST frame pays
+            # exactly the per-RPC cost the fused paths eliminate
+            words, idf = self._bow_dev
+            scores = np.asarray(bow_scores(
+                bow_vector(f.desc, f.obs_valid, words, idf), self._bank[3]
+            ))[: ld.count]
+        else:
+            vec = bow_vector(f.desc, f.obs_valid, ld.words, ld.idf)
+            scores = np.asarray(
+                bow_scores(vec, jnp.asarray(ld.bow_db[: ld.count]))
+            )
         n_cand = min(self.cfg.reloc_max_candidates, ld.count)
         cands = [int(j) for j in np.argsort(-scores)[:n_cand]]
 

@@ -145,8 +145,10 @@ class Tracker:
         icp_cfg, use_icp = cfg.icp, cfg.use_icp_refinement
         kf_cfg = cfg.keyframe
 
+        use_dense = cfg.use_dense_icp
+
         def _batch_body(carry, inp):
-            f_prev, D, key = carry
+            f_prev, D, d_prev, key = carry
             g, d, thr = inp
             key, sub = jax.random.split(key)
             f_cur = self._extractor.build(g, d, thr)
@@ -157,6 +159,14 @@ class Tracker:
                                            None, icp_cfg, C1=C1, C2=C2)
                 use = (res.rmse >= icp_cfg.rmse_trigger) & conv & res.success
                 T21 = jnp.where(use, T_g, T21)
+            if use_dense:
+                # dense projective point-to-plane polish, as in the
+                # per-frame path (there is no ref2 fallback in a batch, so
+                # the skip-after-ref2 guard is moot here)
+                T_d = dense_icp(self.cam, d_prev, d, T21,
+                                levels=cfg.dense_icp_levels,
+                                max_correction=(0.1, 0.1))
+                T21 = jnp.where(res.success, T_d, T21)
             T21_eff = jnp.where(res.success, T21, jnp.eye(4, dtype=T21.dtype))
             D_new = T21_eff @ D
             tn = jnp.linalg.norm(D_new[:3, 3])
@@ -174,12 +184,12 @@ class Tracker:
                            kf.astype(jnp.float32),
                            jnp.sum(f_cur.valid).astype(jnp.float32)]),
             ])
-            return (f_cur, D_out, key), (f_cur, out)
+            return (f_cur, D_out, d, key), (f_cur, out)
 
-        def _batch_step(f_ref, D0, grays, depths, key, thr):
+        def _batch_step(f_ref, D0, d_ref, grays, depths, key, thr):
             thrs = jnp.broadcast_to(thr, grays.shape[:1])
-            (f_fin, D_fin, key), (feats, packed) = jax.lax.scan(
-                _batch_body, (f_ref, D0, key), (grays, depths, thrs)
+            (f_fin, D_fin, d_fin, key), (feats, packed) = jax.lax.scan(
+                _batch_body, (f_ref, D0, d_ref, key), (grays, depths, thrs)
             )
             return f_fin, key, feats, packed
 
@@ -295,8 +305,13 @@ class Tracker:
         ds = jnp.stack([jnp.asarray(d) for d in depths[start:]])
         D0 = jnp.asarray(
             (self.ref_Tcw @ np.linalg.inv(self.last_kf_Tcw)).astype(np.float32))
+        # reference depth seeds the dense-ICP carry (unused unless
+        # cfg.use_dense_icp; an alias of a batch frame otherwise)
+        d_ref = (self.ref_depth if self.ref_depth is not None
+                 else jnp.asarray(depths[0]))
         f_fin, self._key, feats, packed = self._batch_step(
-            self.ref_frame, D0, gs, ds, self._key, self._thr_dev)
+            self.ref_frame, D0, jnp.asarray(d_ref), gs, ds, self._key,
+            self._thr_dev)
         pk = np.asarray(packed)          # the ONE per-batch fetch
 
         Tcw = self.ref_Tcw.copy()
@@ -351,6 +366,7 @@ class Tracker:
         self.velocity = Tcw @ np.linalg.inv(self.ref_Tcw)
         self.ref2_frame, self.ref2_Tcw = self.ref_frame, self.ref_Tcw
         self.ref_frame, self.ref_Tcw = f_fin, Tcw.copy()
+        self.ref_depth = ds[-1]
         self._extractor.adapt(int(pk[B - start - 1, 20]))
         # complete the batch's keyframes: ONE stacked fetch for all blobs
         if pending:

@@ -127,3 +127,8 @@ def load_map(path: str, system) -> None:
     ]
     if K:
         tracker.last_kf_Tcw = store.poses_cw[K - 1].copy()
+
+    # the backend verifies against the DEVICE bank, not the host store —
+    # push the restored keyframes back onto the device
+    if hasattr(system, "rebuild_bank_from_store"):
+        system.rebuild_bank_from_store()

@@ -178,6 +178,34 @@ def test_map_save_load_roundtrip(tmp_path):
     np.testing.assert_allclose(ts1, ts2)
     np.testing.assert_allclose(tr1, tr2, atol=1e-5)
 
+    # the DEVICE keyframe bank must be rebuilt on resume — the backend
+    # verifies proximity/loop/relocalization candidates against the bank,
+    # not the host store, so a zeros bank would silently disable all of
+    # them for pre-load keyframes
+    assert sys2._bank is not None
+    np.testing.assert_array_equal(
+        np.asarray(sys2._bank[0])[: sys2.store.count],
+        sys2.store.desc[: sys2.store.count])
+    np.testing.assert_array_equal(
+        np.asarray(sys2._bank[2])[: sys2.store.count],
+        sys2.store.obs_valid[: sys2.store.count])
+    # verification against a restored keyframe actually finds matches
+    # (KF 0's own features must match KF 0 near-perfectly)
+    import jax.numpy as jnp
+
+    from rgbdslam_tpu.frontend.frame import FrameFeatures  # noqa: F401
+
+    d0, x0, v0 = (sys2.store.desc[0], sys2.store.xyz[0],
+                  sys2.store.obs_valid[0])
+
+    class _F:
+        desc = jnp.asarray(d0)
+        xyz = jnp.asarray(x0)
+        obs_valid = jnp.asarray(v0)
+
+    T_b, ninl_b, ok_b, nm_b = sys2._verify_candidates([0], _F)
+    assert bool(ok_b[0]) and int(nm_b[0]) > 50, int(nm_b[0])
+
 
 def _oracle_insert(lo, pts, valid, origin, res, sensor,
                    hit_p=0.9, miss_p=0.4, clamp=(0.001, 0.999)):
