@@ -87,15 +87,20 @@ class LoopDetector:
                 bow_vector(jnp.asarray(d), jnp.asarray(v), self.words, self.idf)
             )
 
+    def _ensure_capacity(self, k: int) -> None:
+        """Double the dense BoW table when full — the inverted-file analog
+        grows with the map (PlaceRecognition/LoopDetector.cpp registers every
+        keyframe; no cap)."""
+        if k >= self.bow_db.shape[0]:
+            self.bow_db = np.concatenate(
+                [self.bow_db, np.zeros_like(self.bow_db)], axis=0)
+
     def add(self, desc: np.ndarray, valid: np.ndarray,
             connections: Set[int]) -> int:
         """Register keyframe `count` with its direct connections
         (LoopDetector::add + Frame::mspConnectedKFs)."""
         k = self.count
-        if k >= self.bow_db.shape[0]:
-            raise RuntimeError(
-                f"loop-detector keyframe budget exceeded ({self.bow_db.shape[0]})"
-            )
+        self._ensure_capacity(k)
         self._pending.append((np.asarray(desc), np.asarray(valid)))
         self._connections.append(set(connections))
         self.count += 1
@@ -114,10 +119,7 @@ class LoopDetector:
         codebook; this keeps the host mirror in sync with zero extra device
         work)."""
         k = self.count
-        if k >= self.bow_db.shape[0]:
-            raise RuntimeError(
-                f"loop-detector keyframe budget exceeded ({self.bow_db.shape[0]})"
-            )
+        self._ensure_capacity(k)
         self._connections.append(set(connections))
         self.bow_db[k] = vec
         self.count += 1

@@ -53,16 +53,35 @@ class KeyframeStore:
         self.fill_features(k, packed, nd, binary)
         return k
 
+    def _grow(self) -> None:
+        """Double every per-keyframe array. The reference's map grows
+        unboundedly (Core/Map.cpp:10-132, std::map); here preallocated
+        budgets double on demand (SURVEY.md §7 hard part (e)) so arbitrary-
+        length sequences run — device programs sized by K recompile once per
+        power-of-two bucket."""
+        K = self.max_keyframes
+        self.max_keyframes = 2 * K
+
+        def ext(a):
+            return np.concatenate([a, np.zeros_like(a)], axis=0)
+
+        self.desc = ext(self.desc)
+        self.xyz = ext(self.xyz)
+        self.obs_valid = ext(self.obs_valid)
+        self.uv = ext(self.uv)
+        self.intensity = ext(self.intensity)
+        self.smooth = ext(self.smooth)
+        self.poses_cw = np.concatenate(
+            [self.poses_cw, np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))])
+        self.timestamps = ext(self.timestamps)
+
     def register(self, timestamp: float, Tcw: np.ndarray) -> int:
         """Reserve the next keyframe slot with its pose/timestamp only (the
         pipelined backend registers at dispatch so radius searches for
         subsequent keyframes in the same batch see this one; feature rows
         land later via fill_features when the device blob is fetched)."""
         if self.count >= self.max_keyframes:
-            raise RuntimeError(
-                f"keyframe budget exceeded ({self.max_keyframes}); raise "
-                "KeyframeConfig.max_keyframes"
-            )
+            self._grow()
         k = self.count
         self.poses_cw[k] = np.asarray(Tcw, dtype=np.float32)
         self.timestamps[k] = timestamp

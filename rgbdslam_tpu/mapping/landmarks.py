@@ -44,9 +44,28 @@ class LandmarkStore:
         self._n_feat = num_features
 
     # ------------------------------------------------------------------
+    def _grow(self) -> None:
+        """Double the landmark budget — the reference's landmark map grows
+        unboundedly (Core/Map.cpp:10-132); here fixed-shape arrays double on
+        demand so long sequences never silently stop extending tracks."""
+
+        def ext(a):
+            return np.concatenate([a, np.zeros_like(a)], axis=0)
+
+        self.Xw = ext(self.Xw)
+        self.valid = ext(self.valid)
+        self.desc = ext(self.desc)
+        self.intensity = ext(self.intensity)
+        self.obs_kf = ext(self.obs_kf)
+        self.obs_uv = ext(self.obs_uv)
+        self.obs_z = ext(self.obs_z)
+        self.obs_valid = ext(self.obs_valid)
+        self.obs_count = ext(self.obs_count)
+        self.L *= 2
+
     def _new_landmark(self, Xw, desc, intensity) -> int:
         if self.count >= self.L:
-            return -1
+            self._grow()
         l = self.count
         self.Xw[l] = Xw
         self.desc[l] = desc
@@ -117,9 +136,10 @@ class LandmarkStore:
 
         # ---- spawn new landmarks for unassigned observations with depth ---
         js = np.nonzero(obs_ok & (assign < 0))[0]
-        n_new = min(len(js), self.L - self.count)
+        while self.count + len(js) > self.L:
+            self._grow()
+        n_new = len(js)
         if n_new > 0:
-            js = js[:n_new]
             ls = np.arange(self.count, self.count + n_new, dtype=np.int32)
             self.Xw[ls] = xyz_cam[js] @ Twc[:3, :3].T + Twc[:3, 3]
             self.desc[ls] = desc[js]

@@ -281,6 +281,13 @@ class SlamSystem:
         pg_cfg = self.cfg.pose_graph
         binary_desc = f.desc.dtype == jnp.uint32
         self._ensure_bank(f)
+        if k >= self._bank[0].shape[0]:
+            # budget-doubling for the device-resident bank (SURVEY.md §7 hard
+            # part (e)): one concat per power-of-two bucket; the fused KF /
+            # verification programs recompile once per doubling
+            self._bank = tuple(
+                jnp.concatenate([a, jnp.zeros_like(a)], axis=0)
+                for a in self._bank)
         bow_on = self._bow_dev is not None
 
         store_k = self.store.register(timestamp, Tcw)

@@ -255,7 +255,13 @@ class PoseGraph:
     def add_vertex(self, Twc: np.ndarray) -> int:
         k = self.n_vertices
         if k >= self.max_vertices:
-            raise RuntimeError("pose graph vertex budget exceeded")
+            # budget-doubling: the reference's graph grows unboundedly
+            # (Core/Map.cpp:10-132); padded power-of-two buckets mean the
+            # device solve recompiles once per doubling, not per vertex
+            self.Twc = np.concatenate(
+                [self.Twc,
+                 np.tile(np.eye(4, dtype=np.float32), (self.max_vertices, 1, 1))])
+            self.max_vertices *= 2
         self.Twc[k] = Twc.astype(np.float32)
         self.n_vertices += 1
         return k
@@ -266,7 +272,13 @@ class PoseGraph:
     def add_edge(self, a: int, b: int, Z_ab: np.ndarray, weight: float = 1.0):
         """Edge with measurement Z = T_{a<-b} (a = 'current' side)."""
         if self.n_edges >= self.max_edges:
-            raise RuntimeError("pose graph edge budget exceeded")
+            E = self.max_edges
+            self.e_a = np.concatenate([self.e_a, np.zeros((E,), np.int32)])
+            self.e_b = np.concatenate([self.e_b, np.zeros((E,), np.int32)])
+            self.e_Z = np.concatenate(
+                [self.e_Z, np.tile(np.eye(4, dtype=np.float32), (E, 1, 1))])
+            self.e_w = np.concatenate([self.e_w, np.zeros((E,), np.float32)])
+            self.max_edges *= 2
         e = self.n_edges
         self.e_a[e] = a
         self.e_b[e] = b
