@@ -98,69 +98,224 @@ def measure_cpu_anchor() -> float | None:
         return None
 
 
-def measure_full_slam(n_frames: int = 96) -> dict:
+def measure_kernel_utilization() -> dict:
+    """Roofline utilization of the flagship Pallas kernels (VERDICT r2 #6).
+
+    Both kernels are VPU-compute-bound (their HBM traffic is KBs-to-MBs
+    against an ~819 GB/s v5e HBM, i.e. microseconds); the binding roofline
+    is the vector unit. Model: one VPU op = one elementwise pass over a
+    (8,128)-lane register, peak ~= 8*128 lanes * ~1.74 GHz ~= 1.78e12
+    elementwise ops/s on one v5e core.
+
+    Op counts are derived from the kernel source (ops/pallas_kernels.py):
+    - 2-NN Hamming matcher (_match_kernel): per (query, train) pair, 8
+      words x (xor 1 + popcount 13 + accumulate 1) = 120 passes + masking
+      and the 4 min/argmin reductions ~= 10 -> ~130 N*M-shaped passes.
+    - fused detect kernel (_detect_core, 640x480 row-tiled): per pixel,
+      Shi-Tomasi (4 gradient shifts + 2 masks + 3 products + 3 box sums of
+      32 + normalize/eig ~= 8) ~= 115, FAST ring (16 x ~6) + 16 arc-window
+      scans x ~8 ~= 224, NMS 3x3 ~= 24, misc ~= 17 -> ~380 HxW passes.
+
+    Timing: in-program fori_loop chains R calls with a data dependency so
+    the device executes R back-to-back kernels in ONE dispatch (tunnel
+    latency excluded by construction).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from rgbdslam_tpu.ops.pallas_kernels import (detect_score_map,
+                                                 hamming_match_2nn)
+
+    if jax.default_backend() == "cpu":
+        return {}
+    VPU_PEAK = 8 * 128 * 1.74e9   # modeled elementwise ops/s, one v5e core
+    out = {}
+    rng = np.random.default_rng(0)
+
+    # --- 2-NN Hamming matcher ---------------------------------------------
+    N = M = 1024
+    d1 = jnp.asarray(rng.integers(0, 2**32, (N, 8)).astype(np.uint32))
+    d2 = jnp.asarray(rng.integers(0, 2**32, (M, 8)).astype(np.uint32))
+    v = jnp.ones((N,), bool)
+    R = 64
+
+    @jax.jit
+    def match_loop(d1c):
+        def body(_, d):
+            bi, bd, sd, cbr = hamming_match_2nn(d, d2, v, v)
+            # fold the result back into the query side: a real data
+            # dependency so the R iterations cannot be collapsed
+            return d ^ (bd.astype(jnp.uint32) % 2)[:, None]
+        return jax.lax.fori_loop(0, R, body, d1c)
+
+    jax.block_until_ready(match_loop(d1))
+    t0 = time.perf_counter()
+    jax.block_until_ready(match_loop(d1))
+    ms = (time.perf_counter() - t0) / R * 1e3
+    ops = 130.0 * N * M
+    out["match_kernel"] = {
+        "ms": round(ms, 4),
+        "modeled_ops": ops,
+        "vpu_utilization_pct": round(100.0 * ops / (ms * 1e-3) / VPU_PEAK, 1),
+        "shape": f"{N}x{M}x256bit",
+    }
+
+    # --- fused detect kernel (640x480 level-0, row-tiled) -------------------
+    H, W = 480, 640
+    img = jnp.asarray(rng.random((H, W)).astype(np.float32))
+
+    @jax.jit
+    def detect_loop(img0):
+        def body(_, im):
+            masked, raw = detect_score_map(im, 20.0)
+            return im + 1e-6 * raw   # data dependency
+        return jax.lax.fori_loop(0, R, body, img0)
+
+    jax.block_until_ready(detect_loop(img))
+    t0 = time.perf_counter()
+    jax.block_until_ready(detect_loop(img))
+    ms = (time.perf_counter() - t0) / R * 1e3
+    ops = 380.0 * H * W
+    out["detect_kernel"] = {
+        "ms": round(ms, 4),
+        "modeled_ops": ops,
+        "vpu_utilization_pct": round(100.0 * ops / (ms * 1e-3) / VPU_PEAK, 1),
+        "shape": f"{H}x{W}",
+    }
+    return out
+
+
+def measure_rpc_latency(n: int = 20) -> float:
+    """Median round-trip of a minimal device->host fetch (the tunnel's
+    per-RPC floor; colocated chips pay ~0.1 ms for the same op)."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.zeros((4,), jnp.float32) + 1.0
+    jax.block_until_ready(x)
+    lat = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        np.asarray(x + 1.0)
+        lat.append(time.perf_counter() - t0)
+    return float(np.median(lat))
+
+
+def measure_full_slam(n_frames: int = 128) -> dict:
     """Wall-clock fps of the complete SlamSystem (keyframes + proximity +
-    BoW/loop closure + graph solves) on a loop-heavy synthetic orbit.
+    BoW loop detection + closure + graph solves) on the multi-room tour —
+    the figure-eight revisits the start beyond the 0.5 m proximity radius,
+    so the mid-run optimize(20) loop-closure path
+    (Solver/PoseGraph.cpp:71,350-368) runs in the timed TPU region.
+
+    The shipped vocabulary is loaded at startup (the reference's
+    voc_TUM_FAST_BRIEF workflow, main.cpp:15,32). Per-frame and
+    double-buffered batched modes (B=8, B=32) are measured, each with its
+    RPC budget (dispatches + fetches per frame, host wall blocked on
+    fetches) so the tunnel-bound share is measured, not asserted.
 
     One warm-up pass compiles every program shape (persistent-cached); the
-    timed pass uses a fresh system so per-frame work is identical."""
+    timed passes use fresh systems so per-frame work is identical."""
     import jax
 
     from rgbdslam_tpu.config import LoopConfig, SlamConfig
     from rgbdslam_tpu.geometry.camera import SYNTHETIC
     from rgbdslam_tpu.io.synthetic import SyntheticDataset
+    from rgbdslam_tpu.loop.vocabulary import shipped_vocabulary
     from rgbdslam_tpu.slam.system import SlamSystem
+    from rgbdslam_tpu.utils.rpccount import RPC
 
-    cfg = SlamConfig(loop=LoopConfig(id_interval=12))
+    cfg = SlamConfig(loop=LoopConfig(id_interval=12, min_kfs_since_loop=10))
     cam = SYNTHETIC
-    ds = SyntheticDataset(n_frames=n_frames, cam=cam, trajectory="orbit")
+    ds = SyntheticDataset(n_frames=n_frames, cam=cam, trajectory="tour")
     frames = []
     for i in range(n_frames):
         ts, gray, depth = ds.grab(i)
         frames.append((ts, gray, depth))
     jax.block_until_ready(frames[-1][1])
+    voc = shipped_vocabulary("svo_fast")
 
-    def run():
+    def run(batch: int = 0):
         system = SlamSystem(cam, cfg, seed=0)
-        for ts, gray, depth in frames:
-            system.track(ts, gray, depth)
+        if voc:
+            system.load_vocabulary(voc)
+        if batch == 0:
+            for ts, gray, depth in frames:
+                system.track(ts, gray, depth)
+        else:
+            # double-buffered: dispatch batch i+1 BEFORE completing batch i
+            pending = None
+            for i in range(0, n_frames, batch):
+                c = frames[i:i + batch]
+                h = system.track_batch_dispatch(
+                    [x[0] for x in c], [x[1] for x in c], [x[2] for x in c])
+                if pending is not None:
+                    system.track_batch_complete(pending)
+                pending = h
+            if pending is not None:
+                system.track_batch_complete(pending)
         system.finish()
         return system
 
-    B = 8
+    def timed(batch: int, label: str):
+        t0 = time.perf_counter()
+        run(batch)             # warm-up: compiles (persistent-cached)
+        print(f"{label} warmup: {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+        RPC.reset()
+        t0 = time.perf_counter()
+        system = run(batch)
+        dt = time.perf_counter() - t0
+        stats = {
+            "fps": round(n_frames / dt, 2),
+            "wall_s": round(dt, 2),
+            "rpcs_per_frame": round(RPC.total / n_frames, 2),
+            "fetch_wait_s": round(RPC.fetch_s, 2),
+            "host_busy_s": round(dt - RPC.fetch_s, 2),
+            "keyframes": system.store.count,
+            "loops_closed": system.loops_closed,
+            "loop_solve_ms": system.loop_solve_ms,
+            "rpc_count": RPC.total,
+        }
+        print(f"{label}: {stats['fps']} fps, {stats['rpcs_per_frame']} "
+              f"RPCs/frame, {stats['loops_closed']} loops "
+              f"(solve {stats['loop_solve_ms']} ms), fetch-blocked "
+              f"{stats['fetch_wait_s']}s of {stats['wall_s']}s",
+              file=sys.stderr)
+        return stats
 
-    def run_batched():
-        system = SlamSystem(cam, cfg, seed=0)
-        for i in range(0, n_frames, B):
-            chunk = frames[i:i + B]
-            system.track_batch([c[0] for c in chunk],
-                               [c[1] for c in chunk],
-                               [c[2] for c in chunk])
-        system.finish()
-        return system
+    per_frame = timed(0, "full-SLAM per-frame")
+    b8 = timed(8, "full-SLAM batched B=8")
+    b32 = timed(32, "full-SLAM batched B=32")
 
-    t0 = time.perf_counter()
-    run()                      # warm-up: compiles
-    print(f"full-SLAM warmup: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-    t0 = time.perf_counter()
-    system = run()
-    dt = time.perf_counter() - t0
-    out = {
-        "full_slam_fps_1chip": round(n_frames / dt, 2),
-        "full_slam_keyframes": system.store.count,
-        "full_slam_loops_closed": system.loops_closed,
+    # tunnel floor: median latency of a minimal fetch RPC right now; a
+    # colocated chip pays ~0.1 ms for the same op. implied_colocated_fps
+    # subtracts the measured tunnel premium from the measured RPC count.
+    rpc_ms = measure_rpc_latency() * 1e3
+    best = min((per_frame, b8, b32), key=lambda s: 1.0 / max(s["fps"], 1e-9))
+    tunnel_premium_s = best["rpc_count"] * max(rpc_ms - 0.1, 0.0) / 1e3
+    implied = n_frames / max(best["wall_s"] - tunnel_premium_s,
+                             best["host_busy_s"], 1e-6)
+    print(f"tunnel RPC floor: {rpc_ms:.1f} ms; implied colocated "
+          f"{implied:.1f} fps", file=sys.stderr)
+
+    return {
+        "full_slam_fps_1chip": per_frame["fps"],
+        "full_slam_keyframes": per_frame["keyframes"],
+        "full_slam_loops_closed": per_frame["loops_closed"],
+        "full_slam_loop_solve_ms": per_frame["loop_solve_ms"],
+        "full_slam_rpcs_per_frame": per_frame["rpcs_per_frame"],
+        "full_slam_batched_fps_1chip": b8["fps"],
+        "full_slam_batched_keyframes": b8["keyframes"],
+        "full_slam_batched_loops_closed": b8["loops_closed"],
+        "full_slam_batched_rpcs_per_frame": b8["rpcs_per_frame"],
+        "full_slam_batched32_fps_1chip": b32["fps"],
+        "full_slam_batched32_rpcs_per_frame": b32["rpcs_per_frame"],
+        "full_slam_fetch_wait_s_b8": b8["fetch_wait_s"],
+        "full_slam_host_busy_s_b8": b8["host_busy_s"],
+        "tunnel_rpc_ms": round(rpc_ms, 2),
+        "implied_colocated_fps": round(implied, 1),
     }
-    # batched deployment shape: B frames per dispatch, on-device KF gate
-    t0 = time.perf_counter()
-    run_batched()              # warm-up: compiles the scan
-    print(f"batched full-SLAM warmup: {time.perf_counter() - t0:.1f}s",
-          file=sys.stderr)
-    t0 = time.perf_counter()
-    sys_b = run_batched()
-    dt = time.perf_counter() - t0
-    out["full_slam_batched_fps_1chip"] = round(n_frames / dt, 2)
-    out["full_slam_batched_keyframes"] = sys_b.store.count
-    return out
 
 
 def main():
@@ -296,6 +451,16 @@ def main():
               f"{result['full_slam_loops_closed']} loops)", file=sys.stderr)
     except Exception as e:  # noqa: BLE001 — headline number must still print
         print(f"full-SLAM bench failed: {e}", file=sys.stderr)
+
+    try:
+        ku = measure_kernel_utilization()
+        if ku:
+            result["kernel_utilization"] = ku
+            for k, v in ku.items():
+                print(f"{k}: {v['ms']} ms, {v['vpu_utilization_pct']}% of "
+                      f"VPU roofline ({v['shape']})", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"kernel-utilization bench failed: {e}", file=sys.stderr)
 
     cpu_fps = measure_cpu_anchor()
     if cpu_fps is not None:

@@ -61,7 +61,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--vocabulary", default=None,
                    help="pre-trained loop-closure vocabulary (.npz from "
                         "rgbdslam_tpu.loop.vocabulary; the reference loads "
-                        "voc_TUM_FAST_BRIEF.yml.gz at startup, main.cpp:32)")
+                        "voc_TUM_FAST_BRIEF.yml.gz at startup, main.cpp:32). "
+                        "Default: the shipped artifact matching the detector "
+                        "family (assets/voc_synth_*.npz); pass 'none' to "
+                        "train online from the first keyframes instead")
     p.add_argument("--loop-interval", type=int, default=100,
                    help="min keyframe-id gap for loop candidates")
     p.add_argument("--save-map", action="store_true")
@@ -145,8 +148,18 @@ def main(argv=None) -> int:
     else:
         system = SlamSystem(ds.cam, cfg)
         tracker = system.tracker
-        if args.vocabulary:
-            system.loop_detector.load_vocabulary(args.vocabulary)
+        vocab = args.vocabulary
+        if vocab is None:
+            # the reference never trains online — it loads a vocabulary at
+            # startup (main.cpp:15,32); default to the shipped artifact for
+            # the detector's descriptor family
+            from rgbdslam_tpu.loop.vocabulary import shipped_vocabulary
+
+            vocab = shipped_vocabulary(args.detector)
+            if vocab:
+                print(f"vocabulary: {vocab}", file=sys.stderr)
+        if vocab and vocab.lower() != "none":
+            system.load_vocabulary(vocab)
 
     timer = StageTimer()
     n = min(len(ds), args.frames)

@@ -45,16 +45,27 @@ class LoopDetector:
         self._connections: List[Set[int]] = []
 
     # ------------------------------------------------------------------
+    @property
+    def vocab_width(self) -> int:
+        """Single source of truth for every BoW table width: the loaded/
+        trained codebook's actual word count, falling back to the configured
+        size before one exists. A preloaded vocabulary may differ from
+        LoopConfig.vocab_size; all consumers (device bank, host table, blob
+        slicing) must size from here."""
+        if self.idf is not None:
+            return int(self.idf.shape[0])
+        return self.cfg.vocab_size
+
     def load_vocabulary(self, path: str) -> None:
         """Use a pre-trained codebook (the reference's startup vocabulary
         load, main.cpp:32) instead of on-the-fly training."""
         from rgbdslam_tpu.loop.vocabulary import load_vocabulary
 
         self.words, self.idf = load_vocabulary(path)
-        if self.idf.shape[0] != self.cfg.vocab_size:
-            # dense BoW tables are sized by the configured vocab; re-size
+        if self.bow_db.shape[1] != self.vocab_width:
+            # dense BoW tables are sized by the loaded width (vocab_width)
             self.bow_db = np.zeros(
-                (self.bow_db.shape[0], int(self.idf.shape[0])), dtype=np.float32
+                (self.bow_db.shape[0], self.vocab_width), dtype=np.float32
             )
         # backfill any keyframes registered before the load
         from rgbdslam_tpu.loop.bow import bow_vector

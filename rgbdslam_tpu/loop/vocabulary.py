@@ -14,6 +14,31 @@ from typing import Optional
 import numpy as np
 
 
+#: shipped vocabulary artifacts by descriptor family (the reference's
+#: voc_TUM_FAST_BRIEF.yml.gz analog, main.cpp:15 — trained offline over
+#: synthetic worlds, tools: this module's CLI)
+_SHIPPED = {
+    "svo_fast": "voc_synth_fast_brief.npz",
+    "fast": "voc_synth_fast_brief.npz",
+    "brief": "voc_synth_fast_brief.npz",
+    "orb": "voc_synth_orb.npz",
+    "orb2": "voc_synth_orb.npz",
+}
+
+
+def shipped_vocabulary(detector: str) -> Optional[str]:
+    """Path of the shipped vocabulary matching a detector's descriptor
+    family, or None if no artifact fits (float families train online)."""
+    import os
+
+    name = _SHIPPED.get(detector)
+    if name is None:
+        return None
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "assets", name)
+    return path if os.path.exists(path) else None
+
+
 def save_vocabulary(path: str, words, idf) -> None:
     np.savez_compressed(path, words=np.asarray(words), idf=np.asarray(idf))
 
@@ -26,19 +51,19 @@ def load_vocabulary(path: str):
 
 
 def collect_descriptors(dataset, cam, extractor_cfg, frame_stride: int = 5,
-                        max_frames: int = 40):
+                        max_frames: int = 40, detector: str = "svo_fast"):
     """Run the extractor over a dataset; returns host (desc, valid)."""
     import jax
     import jax.numpy as jnp
 
-    from rgbdslam_tpu.frontend.frame import build_frame_features
+    from rgbdslam_tpu.frontend.extractor import Extractor
 
+    ex = Extractor(cam, extractor_cfg, detector=detector)
     descs, valids = [], []
     n = min(len(dataset), max_frames * frame_stride)
     for i in range(0, n, frame_stride):
         ts, gray, depth = dataset.grab(i)
-        f = build_frame_features(cam, jnp.asarray(gray), jnp.asarray(depth),
-                                 extractor_cfg)
+        f = ex(jnp.asarray(gray), jnp.asarray(depth))
         d, v = jax.device_get((f.desc, f.valid))
         descs.append(d)
         valids.append(v)
@@ -78,6 +103,8 @@ def main(argv=None) -> int:
     ap.add_argument("--kind", default="TUM")
     ap.add_argument("--out", required=True)
     ap.add_argument("--vocab-size", type=int, default=1024)
+    ap.add_argument("--detector", default="svo_fast",
+                    help="extractor variant whose descriptors to train on")
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--stride", type=int, default=5)
     ap.add_argument("--platform", default="auto", choices=["auto", "cpu", "tpu"])
@@ -108,7 +135,8 @@ def main(argv=None) -> int:
         else:
             ds = open_dataset(spec, kind=args.kind)
         d, v = collect_descriptors(ds, ds.cam, ExtractorConfig(),
-                                   args.stride, args.frames)
+                                   args.stride, args.frames,
+                                   detector=args.detector)
         descs.append(d)
         valids.append(v)
         print(f"{spec}: {int(v.sum())} descriptors")

@@ -36,6 +36,127 @@ from rgbdslam_tpu.mapping.keyframes import KeyframeStore
 from rgbdslam_tpu.slam.tracking import Tracker
 from rgbdslam_tpu.solvers.pose_graph import PoseGraph
 from rgbdslam_tpu.solvers.ransac_se3 import ransac_se3
+from rgbdslam_tpu.utils.rpccount import RPC
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _system_programs(cam: Camera, cfg: SlamConfig) -> dict:
+    """Jitted backend programs for one (camera, config) pair, SHARED across
+    SlamSystem instances (tracing/lowering costs seconds; see
+    tracking._tracker_programs for the measurement). All closures are pure
+    functions of their arguments + the frozen (cam, cfg) cache key."""
+    matcher_cfg, ransac_cfg = cfg.matcher, cfg.ransac
+
+    # batched candidate verification: match + RANSAC vmapped over C
+    # candidate keyframes against the current frame in a single device
+    # program — the sequential per-candidate loop costs C x 2 dispatch
+    # round trips through the TPU tunnel
+    def _verify_one(desc_i, xyz_i, valid_i, desc_k, xyz_k, valid_k, key):
+        m = match_descriptors(desc_i, valid_i, desc_k, valid_k,
+                              matcher_cfg.nn_ratio)
+        mvalid = m.valid & valid_k[m.idx2]
+        p1 = xyz_i
+        p2 = xyz_k[m.idx2]
+        w = correspondence_weights(p1, p2, mvalid)
+        n_matches = jnp.sum(mvalid)
+        res = ransac_se3(p1, p2, w, mvalid, key, ransac_cfg)
+        return res.T21, res.num_inliers, res.success, n_matches
+
+    def _verify_bank(D, X, V, idx, desc_k, xyz_k, valid_k, key):
+        """Verify bank KFs `idx` (C,) against the current frame; returns
+        (C, 19) packed rows [T21(16) | num_inliers | success | n_matches]
+        — one fetch for the whole candidate set."""
+        keys = jax.random.split(key, idx.shape[0])
+        T, ninl, ok, nm = jax.vmap(
+            lambda i, kk: _verify_one(D[i], X[i], V[i],
+                                      desc_k, xyz_k, valid_k, kk)
+        )(idx, keys)
+        return jnp.concatenate(
+            [T.reshape(-1, 16),
+             jnp.stack([ninl.astype(jnp.float32),
+                        ok.astype(jnp.float32),
+                        nm.astype(jnp.float32)], axis=1)],
+            axis=1,
+        )
+
+    # landmark-track extension, fused: match the previous KF (from the
+    # bank) into the current frame + the geometric/reprojection gates,
+    # all on device; ONE (2, N) fetch replaces a match fetch + host
+    # projection math
+    fx, fy, cx, cy = cam.fx, cam.fy, cam.cx, cam.cy
+    gate_px = cfg.track_gate_px
+
+    def _extend_tracks(D, X, V, kprev, desc_k, xyz_k, valid_k, uv_k, T21):
+        Dp, Xp, Vp = D[kprev], X[kprev], V[kprev]
+        m = match_descriptors(Dp, Vp, desc_k, valid_k,
+                              matcher_cfg.nn_ratio)
+        # geometric gate on track extension: the relative KF pose is
+        # known, so a correct association must map the old 3-D point
+        # onto the new one (rejects descriptor aliasing). The metric
+        # gate alone admits BA-poisoning associations (0.10 m at z=2 m
+        # is a 10 px reprojection error for fx=200), so a pixel gate
+        # on the predicted reprojection is applied as well.
+        pred = Xp @ T21[:3, :3].T + T21[:3, 3]
+        err = jnp.linalg.norm(pred - xyz_k[m.idx2], axis=-1)
+        z = jnp.maximum(pred[:, 2], 1e-6)
+        u_pred = fx * pred[:, 0] / z + cx
+        v_pred = fy * pred[:, 1] / z + cy
+        uv_cur = uv_k[m.idx2]
+        err_px = jnp.hypot(u_pred - uv_cur[:, 0], v_pred - uv_cur[:, 1])
+        ok = (m.valid & (err < 0.10) & (err_px < gate_px)
+              & (pred[:, 2] > 0.05))
+        return jnp.stack([m.idx2.astype(jnp.int32), ok.astype(jnp.int32)])
+
+    # --- fused keyframe program -----------------------------------------
+    # ALL per-keyframe device work in ONE dispatch + ONE blob fetch:
+    # bank insertion, host-store packing, batched proximity
+    # verification, landmark-track extension, BoW quantization + database
+    # scores. The unfused flow paid 6-8 separate ~10 ms tunnel round
+    # trips per keyframe — this is the difference between ~8 and ~30 fps
+    # full-SLAM on the tunneled chip.
+    _C = cfg.pose_graph.max_proximity_candidates
+
+    def _kf_core(D, X, V, B, f, meta, words, idf, key, bow_on):
+        """meta: ONE (2 + C + 16,) f32 array carrying every host scalar
+        [k, kprev, idx(C), T21.ravel(16)] — each separate host argument
+        would pay its own device_put round trip over the tunnel. The
+        PRNG key evolves on device and is returned."""
+        from rgbdslam_tpu.frontend.frame import pack_features_for_host
+        from rgbdslam_tpu.loop.bow import bow_scores, bow_vector
+
+        k = meta[0].astype(jnp.int32)
+        kprev = meta[1].astype(jnp.int32)
+        idx = meta[2:2 + _C].astype(jnp.int32)
+        T21 = meta[2 + _C:].reshape(4, 4)
+        key, sub = jax.random.split(key)
+        D = D.at[k].set(f.desc)
+        X = X.at[k].set(f.xyz)
+        V = V.at[k].set(f.obs_valid)
+        ps = pack_features_for_host(f)
+        ver = _verify_bank(D, X, V, idx, f.desc, f.xyz, f.obs_valid, sub)
+        ext = _extend_tracks(D, X, V, kprev, f.desc, f.xyz,
+                             f.obs_valid, f.uv_undist, T21)
+        parts = [ps.reshape(-1), ext.reshape(-1).astype(jnp.float32),
+                 ver.reshape(-1)]
+        if bow_on:
+            vec = bow_vector(f.desc, f.obs_valid, words, idf)
+            B = B.at[k].set(vec)
+            scores = bow_scores(vec, B)
+            parts += [vec, scores]
+        return D, X, V, B, key, jnp.concatenate(parts)
+
+    return {
+        "verify_bank": jax.jit(_verify_bank),
+        "extend_tracks": jax.jit(_extend_tracks),
+        "kf_fused": {
+            flag: jax.jit(functools.partial(_kf_core, bow_on=flag),
+                          donate_argnums=(0, 1, 2, 3))
+            for flag in (False, True)
+        },
+    }
 
 
 class SlamSystem:
@@ -62,6 +183,8 @@ class SlamSystem:
         )
         self.kfs_since_loop = 0
         self.loops_closed = 0
+        self.loop_solve_ms = []   # wall ms of each mid-run loop-closure
+                                  # optimize(20) (Solver/PoseGraph.cpp:71)
         self.last_loop_candidates = 0   # viewer HUD counter analog
                                         # (Tracking::loopCandidates,
                                         #  Drawer/Viewer.cpp:113-120)
@@ -84,117 +207,12 @@ class SlamSystem:
                               #  bow [K,V])
         self._bow_dev = None  # (words, idf) device copies once trained
 
-        # batched candidate verification: match + RANSAC vmapped over C
-        # candidate keyframes against the current frame in a single device
-        # program — the sequential per-candidate loop costs C x 2 dispatch
-        # round trips through the TPU tunnel
-        matcher_cfg, ransac_cfg = cfg.matcher, cfg.ransac
-
-        def _verify_one(desc_i, xyz_i, valid_i, desc_k, xyz_k, valid_k, key):
-            m = match_descriptors(desc_i, valid_i, desc_k, valid_k,
-                                  matcher_cfg.nn_ratio)
-            mvalid = m.valid & valid_k[m.idx2]
-            p1 = xyz_i
-            p2 = xyz_k[m.idx2]
-            w = correspondence_weights(p1, p2, mvalid)
-            n_matches = jnp.sum(mvalid)
-            res = ransac_se3(p1, p2, w, mvalid, key, ransac_cfg)
-            return res.T21, res.num_inliers, res.success, n_matches
-
-        def _verify_bank(D, X, V, idx, desc_k, xyz_k, valid_k, key):
-            """Verify bank KFs `idx` (C,) against the current frame; returns
-            (C, 19) packed rows [T21(16) | num_inliers | success | n_matches]
-            — one fetch for the whole candidate set."""
-            keys = jax.random.split(key, idx.shape[0])
-            T, ninl, ok, nm = jax.vmap(
-                lambda i, kk: _verify_one(D[i], X[i], V[i],
-                                          desc_k, xyz_k, valid_k, kk)
-            )(idx, keys)
-            return jnp.concatenate(
-                [T.reshape(-1, 16),
-                 jnp.stack([ninl.astype(jnp.float32),
-                            ok.astype(jnp.float32),
-                            nm.astype(jnp.float32)], axis=1)],
-                axis=1,
-            )
-
-        self._verify_bank_fn = jax.jit(_verify_bank)
-
-        # landmark-track extension, fused: match the previous KF (from the
-        # bank) into the current frame + the geometric/reprojection gates,
-        # all on device; ONE (2, N) fetch replaces a match fetch + host
-        # projection math
-        fx, fy, cx, cy = cam.fx, cam.fy, cam.cx, cam.cy
-        gate_px = cfg.track_gate_px
-
-        def _extend_tracks(D, X, V, kprev, desc_k, xyz_k, valid_k, uv_k, T21):
-            Dp, Xp, Vp = D[kprev], X[kprev], V[kprev]
-            m = match_descriptors(Dp, Vp, desc_k, valid_k,
-                                  matcher_cfg.nn_ratio)
-            # geometric gate on track extension: the relative KF pose is
-            # known, so a correct association must map the old 3-D point
-            # onto the new one (rejects descriptor aliasing). The metric
-            # gate alone admits BA-poisoning associations (0.10 m at z=2 m
-            # is a 10 px reprojection error for fx=200), so a pixel gate
-            # on the predicted reprojection is applied as well.
-            pred = Xp @ T21[:3, :3].T + T21[:3, 3]
-            err = jnp.linalg.norm(pred - xyz_k[m.idx2], axis=-1)
-            z = jnp.maximum(pred[:, 2], 1e-6)
-            u_pred = fx * pred[:, 0] / z + cx
-            v_pred = fy * pred[:, 1] / z + cy
-            uv_cur = uv_k[m.idx2]
-            err_px = jnp.hypot(u_pred - uv_cur[:, 0], v_pred - uv_cur[:, 1])
-            ok = (m.valid & (err < 0.10) & (err_px < gate_px)
-                  & (pred[:, 2] > 0.05))
-            return jnp.stack([m.idx2.astype(jnp.int32), ok.astype(jnp.int32)])
-
-        self._extend_tracks = jax.jit(_extend_tracks)
-
-        # --- fused keyframe program -----------------------------------------
-        # ALL per-keyframe device work in ONE dispatch + ONE blob fetch:
-        # bank insertion, host-store packing, batched proximity
-        # verification, landmark-track extension, BoW quantization + database
-        # scores. The unfused flow paid 6-8 separate ~10 ms tunnel round
-        # trips per keyframe — this is the difference between ~8 and ~30 fps
-        # full-SLAM on the tunneled chip.
-        import functools
-
-        def _kf_core(D, X, V, B, f, meta, words, idf, key, bow_on):
-            """meta: ONE (2 + C + 16,) f32 array carrying every host scalar
-            [k, kprev, idx(C), T21.ravel(16)] — each separate host argument
-            would pay its own device_put round trip over the tunnel. The
-            PRNG key evolves on device and is returned."""
-            from rgbdslam_tpu.frontend.frame import pack_features_for_host
-            from rgbdslam_tpu.loop.bow import bow_scores, bow_vector
-
-            k = meta[0].astype(jnp.int32)
-            kprev = meta[1].astype(jnp.int32)
-            idx = meta[2:2 + _C].astype(jnp.int32)
-            T21 = meta[2 + _C:].reshape(4, 4)
-            key, sub = jax.random.split(key)
-            D = D.at[k].set(f.desc)
-            X = X.at[k].set(f.xyz)
-            V = V.at[k].set(f.obs_valid)
-            ps = pack_features_for_host(f)
-            ver = _verify_bank(D, X, V, idx, f.desc, f.xyz, f.obs_valid, sub)
-            ext = _extend_tracks(D, X, V, kprev, f.desc, f.xyz,
-                                 f.obs_valid, f.uv_undist, T21)
-            parts = [ps.reshape(-1), ext.reshape(-1).astype(jnp.float32),
-                     ver.reshape(-1)]
-            if bow_on:
-                vec = bow_vector(f.desc, f.obs_valid, words, idf)
-                B = B.at[k].set(vec)
-                scores = bow_scores(vec, B)
-                parts += [vec, scores]
-            return D, X, V, B, key, jnp.concatenate(parts)
-
-        _C = cfg.pose_graph.max_proximity_candidates
-
-        self._kf_fused = {
-            flag: jax.jit(functools.partial(_kf_core, bow_on=flag),
-                          donate_argnums=(0, 1, 2, 3))
-            for flag in (False, True)
-        }
+        # backend device programs from the shared (cam, cfg) cache — see
+        # _system_programs
+        progs = _system_programs(cam, cfg)
+        self._verify_bank_fn = progs["verify_bank"]
+        self._extend_tracks = progs["extend_tracks"]
+        self._kf_fused = progs["kf_fused"]
 
     # ------------------------------------------------------------------
     def track(self, timestamp: float, gray, depth) -> np.ndarray:
@@ -205,6 +223,16 @@ class SlamSystem:
         gate; the backend still runs per flagged keyframe). Returns
         (B, 4, 4) Tcw."""
         return self.tracker.track_batch(timestamps, grays, depths)
+
+    def track_batch_dispatch(self, timestamps, grays, depths) -> dict:
+        """Double-buffered deployment shape: dispatch batch i+1 BEFORE
+        completing batch i so the blob-fetch RPCs of one batch overlap the
+        device compute of the next (the reference's tracking/backend thread
+        overlap, main.cpp:39-48)."""
+        return self.tracker.track_batch_dispatch(timestamps, grays, depths)
+
+    def track_batch_complete(self, h: dict) -> np.ndarray:
+        return self.tracker.track_batch_complete(h)
 
     # ------------------------------------------------------------------
     def _next_key(self):
@@ -218,8 +246,25 @@ class SlamSystem:
                 jnp.zeros((K,) + tuple(f.desc.shape), f.desc.dtype),
                 jnp.zeros((K,) + tuple(f.xyz.shape), jnp.float32),
                 jnp.zeros((K, f.desc.shape[0]), bool),
-                jnp.zeros((K, self.cfg.loop.vocab_size), jnp.float32),
+                # BoW width follows the detector's codebook (vocab_width is
+                # the single source of truth; a preloaded vocabulary may
+                # differ from LoopConfig.vocab_size)
+                jnp.zeros((K, self.loop_detector.vocab_width), jnp.float32),
             )
+
+    def load_vocabulary(self, path: str) -> None:
+        """Load a pre-trained vocabulary (the reference's startup load,
+        main.cpp:15,32) and sync the device codebook + BoW bank so the very
+        next keyframe quantizes on device at the loaded width."""
+        ld = self.loop_detector
+        ld.load_vocabulary(path)
+        self._bow_dev = (jnp.asarray(ld.words), jnp.asarray(ld.idf))
+        if self._bank is not None:
+            Kb = self._bank[0].shape[0]
+            B = np.zeros((Kb, ld.vocab_width), np.float32)
+            rows = min(Kb, ld.bow_db.shape[0])
+            B[:rows] = ld.bow_db[:rows]
+            self._bank = self._bank[:3] + (jnp.asarray(B),)
 
     def rebuild_bank_from_store(self):
         """Re-sync the device-resident keyframe bank (descriptors, points,
@@ -231,11 +276,17 @@ class SlamSystem:
         if self.store.count == 0:
             return
         ld = self.loop_detector
+        # stores grow independently; the bank takes the keyframe store's K
+        # and pads/truncates the BoW table rows to match
+        Kb = self.store.max_keyframes
+        B = np.zeros((Kb, ld.vocab_width), np.float32)
+        rows = min(Kb, ld.bow_db.shape[0])
+        B[:rows] = ld.bow_db[:rows, : ld.vocab_width]
         self._bank = (
             jnp.asarray(self.store.desc),
             jnp.asarray(self.store.xyz),
             jnp.asarray(self.store.obs_valid),
-            jnp.asarray(ld.bow_db.astype(np.float32)),
+            jnp.asarray(B),
         )
         if ld.words is not None:
             self._bow_dev = (jnp.asarray(ld.words), jnp.asarray(ld.idf))
@@ -251,7 +302,8 @@ class SlamSystem:
         idx = np.zeros((C,), np.int32)
         idx[: len(cands)] = cands
         D, X, V = self._bank[:3]
-        packed = np.asarray(self._verify_bank_fn(
+        RPC.dispatches += 1
+        packed = RPC.fetch(self._verify_bank_fn(
             D, X, V, jnp.asarray(idx), f.desc, f.xyz, f.obs_valid,
             self._next_key(),
         ))
@@ -268,7 +320,7 @@ class SlamSystem:
         track extension and BoW scoring; everything after is host numpy and
         the (rare) loop-closure solves."""
         h = self._kf_dispatch(k, timestamp, f, Tcw)
-        self._kf_complete(h, np.asarray(h["blob"]))
+        self._kf_complete(h, RPC.fetch(h["blob"]))
 
     def _kf_dispatch(self, k: int, timestamp: float, f: FrameFeatures,
                      Tcw: np.ndarray) -> dict:
@@ -330,6 +382,7 @@ class SlamSystem:
         D, X, V, B, self._key, blob = self._kf_fused[bow_on](
             D, X, V, B, f, meta, words, idf, self._key,
         )
+        RPC.dispatches += 1
         self._bank = (D, X, V, B)
         return {"k": k, "f": f, "Tcw": Tcw, "cands": cands,
                 "connections": connections, "bow_on": bow_on,
@@ -461,11 +514,15 @@ class SlamSystem:
             # host table (up to Kmax x V f32, ~8 MB) every LOST frame pays
             # exactly the per-RPC cost the fused paths eliminate
             words, idf = self._bow_dev
+            RPC.dispatches += 1
+            RPC.fetches += 1
             scores = np.asarray(bow_scores(
                 bow_vector(f.desc, f.obs_valid, words, idf), self._bank[3]
             ))[: ld.count]
         else:
             vec = bow_vector(f.desc, f.obs_valid, ld.words, ld.idf)
+            RPC.dispatches += 1
+            RPC.fetches += 1
             scores = np.asarray(
                 bow_scores(vec, jnp.asarray(ld.bow_db[: ld.count]))
             )
@@ -516,7 +573,12 @@ class SlamSystem:
             self.loop_detector.connect(k, j)
             closed = True
         if closed:
+            import time as _time
+
+            t0 = _time.perf_counter()
             self._optimize(self.cfg.pose_graph.opt_iters_loop)
+            self.loop_solve_ms.append(
+                round((_time.perf_counter() - t0) * 1e3, 2))
             self.loops_closed += 1
         return closed
 
@@ -541,6 +603,8 @@ class SlamSystem:
         Tcw_opt, Xw_opt, _cost = local_ba(
             self.cam, problem, fixed, self.cfg.ba_iterations
         )
+        RPC.dispatches += 1
+        RPC.fetches += 2
         Tcw_opt = np.asarray(Tcw_opt)
         self.landmarks.update_from_solution(lm_ids, np.asarray(Xw_opt))
         self.store.poses_cw[kf_lo : k + 1] = Tcw_opt
@@ -602,6 +666,8 @@ class SlamSystem:
             self.cfg.global_ba_iterations,
             edges=edges, edge_huber=self.graph.huber_delta,
         )
+        RPC.dispatches += 1
+        RPC.fetches += 2
         Tcw_opt = np.asarray(Tcw_opt)[:K]
         self.landmarks.update_from_solution(lm_ids, np.asarray(Xw_opt))
         self.store.poses_cw[:K] = Tcw_opt

@@ -14,6 +14,7 @@ Tcw_cur = T21 @ Tcw_ref (Solver/SolverSE3.cpp:124-126).
 from __future__ import annotations
 
 import enum
+import time
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
@@ -29,6 +30,7 @@ from rgbdslam_tpu.geometry.camera import Camera
 from rgbdslam_tpu.solvers.dense_icp import dense_icp
 from rgbdslam_tpu.solvers.icp import gicp_refine
 from rgbdslam_tpu.solvers.ransac_se3 import ransac_se3
+from rgbdslam_tpu.utils.rpccount import RPC
 
 
 class TrackerState(enum.Enum):
@@ -61,6 +63,125 @@ class TrackStats:
         return self.acum_inliers // max(self.frames, 1)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _tracker_programs(cam: Camera, cfg: SlamConfig) -> dict:
+    """Jitted device programs for one (camera, config) pair, SHARED across
+    Tracker instances. Tracing + MLIR lowering of the fused scan programs
+    costs seconds per program; instance-bound jits re-pay it for every new
+    session (measured: ~10 s of a 15 s batched bench run was re-tracing).
+    Every closure is pure w.r.t. instance state — Extractor.build takes the
+    threshold as an argument, and cam/cfg are frozen dataclasses (the cache
+    key)."""
+    ex = Extractor(cam, cfg.extractor, detector=cfg.detector,
+                   adaptive=cfg.adaptive)
+    matcher_cfg, ransac_cfg = cfg.matcher, cfg.ransac
+
+    # fused per-frame program: feature build + match + gather + RANSAC in
+    # ONE device dispatch, all host-consumed scalars in ONE (19,) packed
+    # array — each extra dispatch or fetch pays a ~10 ms RPC round trip
+    # over the remote-TPU tunnel, so per-frame work is exactly one
+    # dispatch + one small fetch
+    def _fused(ref: FrameFeatures, cur: FrameFeatures, key):
+        m = match_frames(ref, cur, matcher_cfg.nn_ratio)
+        p1, p2, w, valid = gather_matched_points(ref, cur, m)
+        res = ransac_se3(p1, p2, w, valid, key, ransac_cfg)
+        packed = jnp.concatenate([
+            res.T21.reshape(16),
+            jnp.stack([res.success.astype(jnp.float32),
+                       res.rmse.astype(jnp.float32),
+                       res.num_inliers.astype(jnp.float32)]),
+        ])
+        # matched surface covariances for the GICP stage (depth-image
+        # patches; cheaper + truer than sparse-set kNN)
+        return res, p1, p2, ref.surf_cov, cur.surf_cov[m.idx2], packed
+
+    def _step(ref: FrameFeatures, gray, depth, key, threshold):
+        # the PRNG key evolves ON DEVICE (a host-side split would be an
+        # extra dispatch per frame) and `threshold` is a cached device
+        # scalar — with every argument device-resident, the per-frame
+        # cost is exactly one dispatch + one 20-float fetch
+        key, sub = jax.random.split(key)
+        cur = ex.build(gray, depth, threshold)
+        res, p1, p2, C1, C2, packed = _fused(ref, cur, sub)
+        # + current valid-keypoint count (ADAPTIVE feedback reads it
+        # from the same packed fetch)
+        packed = jnp.concatenate(
+            [packed, jnp.sum(cur.valid).astype(jnp.float32)[None]])
+        return key, cur, res, p1, p2, C1, C2, packed
+
+    # ---- batched full-SLAM step: B frames per dispatch ----------------
+    # The per-frame path pays one dispatch + one fetch per frame — each a
+    # full RPC round trip on a remote-TPU link. Here a lax.scan chains B
+    # frames (features, match, RANSAC, GICP select) AND evaluates the
+    # keyframe gate on device (accumulated motion vs the last KF carried
+    # as D = Tcw_cur Twc_kf), so a batch costs ONE dispatch + ONE (B, 21)
+    # fetch; per-frame features come back stacked and stay on device for
+    # the backend's fused keyframe program. Batched-mode divergences
+    # (documented): no second-reference retry (a failed frame holds the
+    # pose, recover() semantics) and backend pose corrections apply at
+    # batch boundaries — the reference's backend thread is asynchronous
+    # anyway, so batch-delayed corrections match its semantics class.
+    icp_cfg, use_icp = cfg.icp, cfg.use_icp_refinement
+    kf_cfg = cfg.keyframe
+    use_dense = cfg.use_dense_icp
+
+    def _batch_body(carry, inp):
+        f_prev, D, d_prev, key = carry
+        g, d, thr = inp
+        key, sub = jax.random.split(key)
+        f_cur = ex.build(g, d, thr)
+        res, p1, p2, C1, C2, packed = _fused(f_prev, f_cur, sub)
+        T21 = res.T21
+        if use_icp:
+            T_g, conv, _ = gicp_refine(p1, p2, res.inliers, T21,
+                                       None, icp_cfg, C1=C1, C2=C2)
+            use = (res.rmse >= icp_cfg.rmse_trigger) & conv & res.success
+            T21 = jnp.where(use, T_g, T21)
+        if use_dense:
+            # dense projective point-to-plane polish, as in the
+            # per-frame path (there is no ref2 fallback in a batch, so
+            # the skip-after-ref2 guard is moot here)
+            T_d = dense_icp(cam, d_prev, d, T21,
+                            levels=cfg.dense_icp_levels,
+                            max_correction=(0.1, 0.1))
+            T21 = jnp.where(res.success, T_d, T21)
+        T21_eff = jnp.where(res.success, T21, jnp.eye(4, dtype=T21.dtype))
+        D_new = T21_eff @ D
+        tn = jnp.linalg.norm(D_new[:3, 3])
+        cosr = jnp.clip(0.5 * (jnp.trace(D_new[:3, :3]) - 1.0),
+                        -1.0, 1.0)
+        rn = jnp.arccos(cosr)
+        kf = res.success & ((tn > kf_cfg.min_translation)
+                            | (rn > kf_cfg.min_rotation))
+        D_out = jnp.where(kf, jnp.eye(4, dtype=D.dtype), D_new)
+        out = jnp.concatenate([
+            T21.reshape(16),
+            jnp.stack([res.success.astype(jnp.float32),
+                       res.rmse.astype(jnp.float32),
+                       res.num_inliers.astype(jnp.float32),
+                       kf.astype(jnp.float32),
+                       jnp.sum(f_cur.valid).astype(jnp.float32)]),
+        ])
+        return (f_cur, D_out, d, key), (f_cur, out)
+
+    def _batch_step(f_ref, D0, d_ref, grays, depths, key, thr):
+        thrs = jnp.broadcast_to(thr, grays.shape[:1])
+        (f_fin, D_fin, d_fin, key), (feats, packed) = jax.lax.scan(
+            _batch_body, (f_ref, D0, d_ref, key), (grays, depths, thrs)
+        )
+        return (f_fin, D_fin, d_fin), key, feats, packed
+
+    return {
+        "fused": jax.jit(_fused),
+        "step": jax.jit(_step),
+        "batch_step": jax.jit(_batch_step),
+        "slice_feats": jax.jit(lambda f, i: jax.tree.map(lambda x: x[i], f)),
+    }
+
+
 class Tracker:
     """Frame-to-frame visual odometry + keyframe selection.
 
@@ -85,117 +206,24 @@ class Tracker:
         self.ref_depth = None          # kept only when dense ICP is on
         self._cur_depth = None
         # feature extraction via the factory (detector variant + ADAPTIVE
-        # threshold feedback, frontend/extractor.py)
+        # threshold feedback, frontend/extractor.py); this instance carries
+        # the mutable ADAPTIVE threshold state — the pure device programs
+        # come from the shared (cam, cfg) cache
         self._extractor = Extractor(cam, cfg.extractor, detector=cfg.detector,
                                     adaptive=cfg.adaptive)
-
-        # fused per-frame program: feature build + match + gather + RANSAC in
-        # ONE device dispatch, all host-consumed scalars in ONE (19,) packed
-        # array — each extra dispatch or fetch pays a ~10 ms RPC round trip
-        # over the remote-TPU tunnel, so per-frame work is exactly one
-        # dispatch + one small fetch
-        matcher_cfg, ransac_cfg = cfg.matcher, cfg.ransac
-
-        def _fused(ref: FrameFeatures, cur: FrameFeatures, key):
-            m = match_frames(ref, cur, matcher_cfg.nn_ratio)
-            p1, p2, w, valid = gather_matched_points(ref, cur, m)
-            res = ransac_se3(p1, p2, w, valid, key, ransac_cfg)
-            packed = jnp.concatenate([
-                res.T21.reshape(16),
-                jnp.stack([res.success.astype(jnp.float32),
-                           res.rmse.astype(jnp.float32),
-                           res.num_inliers.astype(jnp.float32)]),
-            ])
-            # matched surface covariances for the GICP stage (depth-image
-            # patches; cheaper + truer than sparse-set kNN)
-            return res, p1, p2, ref.surf_cov, cur.surf_cov[m.idx2], packed
-
-        self._fused_estimate = jax.jit(_fused)
-
-        def _step(ref: FrameFeatures, gray, depth, key, threshold):
-            # the PRNG key evolves ON DEVICE (a host-side split would be an
-            # extra dispatch per frame) and `threshold` is a cached device
-            # scalar — with every argument device-resident, the per-frame
-            # cost is exactly one dispatch + one 20-float fetch
-            key, sub = jax.random.split(key)
-            cur = self._extractor.build(gray, depth, threshold)
-            res, p1, p2, C1, C2, packed = _fused(ref, cur, sub)
-            # + current valid-keypoint count (ADAPTIVE feedback reads it
-            # from the same packed fetch)
-            packed = jnp.concatenate(
-                [packed, jnp.sum(cur.valid).astype(jnp.float32)[None]])
-            return key, cur, res, p1, p2, C1, C2, packed
-
-        self._step = jax.jit(_step)
+        progs = _tracker_programs(cam, cfg)
+        self._fused_estimate = progs["fused"]
+        self._step = progs["step"]
+        self._batch_step = progs["batch_step"]
+        self._slice_feats = progs["slice_feats"]
         self._thr_dev = None
         self._thr_val = None
-
-        # ---- batched full-SLAM step: B frames per dispatch ----------------
-        # The per-frame path pays one dispatch + one fetch per frame — each a
-        # full RPC round trip on a remote-TPU link. Here a lax.scan chains B
-        # frames (features, match, RANSAC, GICP select) AND evaluates the
-        # keyframe gate on device (accumulated motion vs the last KF carried
-        # as D = Tcw_cur Twc_kf), so a batch costs ONE dispatch + ONE (B, 21)
-        # fetch; per-frame features come back stacked and stay on device for
-        # the backend's fused keyframe program. Batched-mode divergences
-        # (documented): no second-reference retry (a failed frame holds the
-        # pose, recover() semantics) and backend pose corrections apply at
-        # batch boundaries — the reference's backend thread is asynchronous
-        # anyway, so batch-delayed corrections match its semantics class.
-        icp_cfg, use_icp = cfg.icp, cfg.use_icp_refinement
-        kf_cfg = cfg.keyframe
-
-        use_dense = cfg.use_dense_icp
-
-        def _batch_body(carry, inp):
-            f_prev, D, d_prev, key = carry
-            g, d, thr = inp
-            key, sub = jax.random.split(key)
-            f_cur = self._extractor.build(g, d, thr)
-            res, p1, p2, C1, C2, packed = _fused(f_prev, f_cur, sub)
-            T21 = res.T21
-            if use_icp:
-                T_g, conv, _ = gicp_refine(p1, p2, res.inliers, T21,
-                                           None, icp_cfg, C1=C1, C2=C2)
-                use = (res.rmse >= icp_cfg.rmse_trigger) & conv & res.success
-                T21 = jnp.where(use, T_g, T21)
-            if use_dense:
-                # dense projective point-to-plane polish, as in the
-                # per-frame path (there is no ref2 fallback in a batch, so
-                # the skip-after-ref2 guard is moot here)
-                T_d = dense_icp(self.cam, d_prev, d, T21,
-                                levels=cfg.dense_icp_levels,
-                                max_correction=(0.1, 0.1))
-                T21 = jnp.where(res.success, T_d, T21)
-            T21_eff = jnp.where(res.success, T21, jnp.eye(4, dtype=T21.dtype))
-            D_new = T21_eff @ D
-            tn = jnp.linalg.norm(D_new[:3, 3])
-            cosr = jnp.clip(0.5 * (jnp.trace(D_new[:3, :3]) - 1.0),
-                            -1.0, 1.0)
-            rn = jnp.arccos(cosr)
-            kf = res.success & ((tn > kf_cfg.min_translation)
-                                | (rn > kf_cfg.min_rotation))
-            D_out = jnp.where(kf, jnp.eye(4, dtype=D.dtype), D_new)
-            out = jnp.concatenate([
-                T21.reshape(16),
-                jnp.stack([res.success.astype(jnp.float32),
-                           res.rmse.astype(jnp.float32),
-                           res.num_inliers.astype(jnp.float32),
-                           kf.astype(jnp.float32),
-                           jnp.sum(f_cur.valid).astype(jnp.float32)]),
-            ])
-            return (f_cur, D_out, d, key), (f_cur, out)
-
-        def _batch_step(f_ref, D0, d_ref, grays, depths, key, thr):
-            thrs = jnp.broadcast_to(thr, grays.shape[:1])
-            (f_fin, D_fin, d_fin, key), (feats, packed) = jax.lax.scan(
-                _batch_body, (f_ref, D0, d_ref, key), (grays, depths, thrs)
-            )
-            return f_fin, key, feats, packed
-
-        self._batch_step = jax.jit(_batch_step)
-        self._slice_feats = jax.jit(
-            lambda f, i: jax.tree.map(lambda x: x[i], f))
+        # device-resident scan carry (features, accumulated-motion D, depth)
+        # chained across batches so batch i+1 can DISPATCH before batch i's
+        # blob is fetched (double buffering: the fetch RPC of batch i
+        # overlaps the device compute of batch i+1). None = rebuild from
+        # host state (first batch, or after per-frame tracking).
+        self._batch_carry = None
 
         # keyframes: host registry (features + poses); device-side stores for
         # the backend live in mapping/keyframes.py
@@ -279,40 +307,80 @@ class Tracker:
         frame's bookkeeping (trajectory, keyframe backend, relocalization)
         from the (B, 21) packed result. Returns Tcw (B, 4, 4).
 
+        For pipelined deployment call the two phases directly —
+        track_batch_dispatch(batch i+1) BEFORE track_batch_complete(batch i)
+        — so the fetch RPC of one batch overlaps the device compute of the
+        next (the reference overlaps tracking and backend with threads,
+        main.cpp:39-48 / Solver/PoseGraph.cpp:56-103; here the overlap is
+        host/device instead).
+
         Divergences from the per-frame path (see _batch_step): no
-        second-reference retry; corrections land at batch boundaries.
+        second-reference retry; corrections land at batch boundaries; under
+        dispatch-ahead the ADAPTIVE threshold feedback and the keyframe
+        gate's device carry lag one batch.
         """
+        return self.track_batch_complete(
+            self.track_batch_dispatch(timestamps, grays, depths))
+
+    def track_batch_dispatch(self, timestamps, grays, depths) -> dict:
+        """Dispatch phase: upload the batch and launch the fused VO scan —
+        no fetch. The scan carry chains on device from the previous
+        dispatch, so any number of batches can be in flight."""
         B = len(timestamps)
-        out = np.zeros((B, 4, 4), np.float32)
-        start = 0
+        h = {"timestamps": list(timestamps), "B": B, "start": 0,
+             "init_Tcw": None}
         if self.state is TrackerState.NOT_INITIALIZED:
             f0 = self._extractor(grays[0], depths[0])
+            RPC.dispatches += 1
             Tcw0 = np.eye(4, dtype=np.float32)
             self._initialize(timestamps[0], f0, Tcw0)
             self.trajectory.append(
                 TrackedFrame(timestamps[0], Tcw0,
                              np.eye(4, dtype=np.float32), 0, 0))
-            out[0] = Tcw0
-            start = 1
+            h["init_Tcw"] = Tcw0
+            h["start"] = 1
             if B == 1:
-                return out
+                return h
         if self._thr_val != self._extractor.threshold:
             self._thr_val = self._extractor.threshold
             self._thr_dev = jnp.float32(self._thr_val)
 
-        # device scan over the remaining frames
+        start = h["start"]
         gs = jnp.stack([jnp.asarray(g) for g in grays[start:]])
         ds = jnp.stack([jnp.asarray(d) for d in depths[start:]])
-        D0 = jnp.asarray(
-            (self.ref_Tcw @ np.linalg.inv(self.last_kf_Tcw)).astype(np.float32))
-        # reference depth seeds the dense-ICP carry (unused unless
-        # cfg.use_dense_icp; an alias of a batch frame otherwise)
-        d_ref = (self.ref_depth if self.ref_depth is not None
-                 else jnp.asarray(depths[0]))
-        f_fin, self._key, feats, packed = self._batch_step(
-            self.ref_frame, D0, jnp.asarray(d_ref), gs, ds, self._key,
-            self._thr_dev)
-        pk = np.asarray(packed)          # the ONE per-batch fetch
+        if self._batch_carry is None:
+            D0 = jnp.asarray(
+                (self.ref_Tcw
+                 @ np.linalg.inv(self.last_kf_Tcw)).astype(np.float32))
+            # reference depth seeds the dense-ICP carry (unused unless
+            # cfg.use_dense_icp; an alias of a batch frame otherwise)
+            d_ref = (self.ref_depth if self.ref_depth is not None
+                     else jnp.asarray(depths[0]))
+            carry = (self.ref_frame, D0, jnp.asarray(d_ref))
+        else:
+            carry = self._batch_carry
+        self._batch_carry, self._key, feats, packed = self._batch_step(
+            *carry, gs, ds, self._key, self._thr_dev)
+        RPC.dispatches += 1
+        h["feats"] = feats
+        h["packed"] = packed
+        h["f_fin"] = self._batch_carry[0]
+        h["d_fin"] = self._batch_carry[2]
+        return h
+
+    def track_batch_complete(self, h: dict) -> np.ndarray:
+        """Completion phase: ONE packed fetch, then per-frame host
+        bookkeeping (trajectory, keyframe backend, relocalization).
+        Completions must run in dispatch order."""
+        B, start = h["B"], h["start"]
+        timestamps = h["timestamps"]
+        out = np.zeros((B, 4, 4), np.float32)
+        if h["init_Tcw"] is not None:
+            out[0] = h["init_Tcw"]
+            if B == 1:
+                return out
+        feats = h["feats"]
+        pk = RPC.fetch(h["packed"])      # the ONE per-batch fetch
 
         Tcw = self.ref_Tcw.copy()
         pending = []                     # dispatched keyframe handles
@@ -365,14 +433,14 @@ class Tracker:
         # slide references to the batch's last frame
         self.velocity = Tcw @ np.linalg.inv(self.ref_Tcw)
         self.ref2_frame, self.ref2_Tcw = self.ref_frame, self.ref_Tcw
-        self.ref_frame, self.ref_Tcw = f_fin, Tcw.copy()
-        self.ref_depth = ds[-1]
+        self.ref_frame, self.ref_Tcw = h["f_fin"], Tcw.copy()
+        self.ref_depth = h["d_fin"]
         self._extractor.adapt(int(pk[B - start - 1, 20]))
         # complete the batch's keyframes: ONE stacked fetch for all blobs
         if pending:
-            blobs = np.asarray(jnp.stack([h["blob"] for h in pending]))
-            for h, row in zip(pending, blobs):
-                self.on_keyframe_complete(h, row)
+            blobs = RPC.fetch(jnp.stack([hk["blob"] for hk in pending]))
+            for hk, row in zip(pending, blobs):
+                self.on_keyframe_complete(hk, row)
         return out
 
     # ------------------------------------------------------------------
@@ -386,6 +454,7 @@ class Tracker:
         self.ref2_Tcw = Tcw.copy()
         self.ref_depth = self._cur_depth
         self._last_inliers = 0
+        self._batch_carry = None     # batch scans re-seed from host state
         self._create_keyframe(timestamp, f, Tcw)
         self.state = TrackerState.OK
 
@@ -407,9 +476,10 @@ class Tracker:
             self._key, f, res, p1, p2, C1, C2, packed = self._step(
                 self.ref_frame, jnp.asarray(gray), jnp.asarray(depth),
                 self._key, self._thr_dev)
+            RPC.dispatches += 1
             # ONE device->host read for all per-frame scalars (a tuple
             # device_get still fetches each array in its own tunnel RPC)
-            pk = np.asarray(packed)
+            pk = RPC.fetch(packed)
             n_valid = int(pk[19])
             ex.adapt(n_valid)
             if not (ex.adaptive and n_valid < ex.target_min
@@ -426,7 +496,8 @@ class Tracker:
             (res, pts, packed), ref_Tcw = (
                 self._estimate(self.ref2_frame, f), self.ref2_Tcw)
             used_ref2 = True
-            pk = np.asarray(packed)
+            RPC.dispatches += 1
+            pk = RPC.fetch(packed)
             T21_host, success, rmse, n_inl = (
                 pk[:16].reshape(4, 4), bool(pk[16] > 0.5), float(pk[17]),
                 int(pk[18]))
@@ -441,7 +512,11 @@ class Tracker:
             T_ref, converged, _ = gicp_refine(p1, p2, res.inliers, res.T21,
                                               None, self.cfg.icp,
                                               C1=C1, C2=C2)
+            RPC.dispatches += 1
+            _t0 = time.perf_counter()
             converged, T_ref_host = jax.device_get((converged, T_ref))
+            RPC.fetches += 2
+            RPC.fetch_s += time.perf_counter() - _t0
             if bool(converged):
                 T21_host = T_ref_host
 
@@ -456,7 +531,11 @@ class Tracker:
                             jnp.asarray(T21_host),
                             levels=self.cfg.dense_icp_levels,
                             max_correction=(0.1, 0.1))
+            RPC.dispatches += 1
+            _t0 = time.perf_counter()
             T21_host = jax.device_get(T_d)
+            RPC.fetches += 1
+            RPC.fetch_s += time.perf_counter() - _t0
 
         n_inl = int(n_inl) if success else 0
         self._last_inliers = n_inl
@@ -487,6 +566,7 @@ class Tracker:
         self.ref2_frame, self.ref2_Tcw = self.ref_frame, self.ref_Tcw
         self.ref_frame, self.ref_Tcw = f, Tcw.copy()
         self.ref_depth = self._cur_depth
+        self._batch_carry = None     # per-frame path moved the references
         return Tcw, f
 
     # ------------------------------------------------------------------

@@ -79,3 +79,36 @@ def weighted_rigid_transform(
     T = se3.from_Rt(R, t)
     degenerate = (wsum[..., 0] <= 1e-12)[..., None, None]
     return jnp.where(degenerate, jnp.eye(4, dtype=T.dtype), T)
+
+
+def weighted_similarity_transform(
+    p1: jnp.ndarray, p2: jnp.ndarray, w: jnp.ndarray, iters: int = 30
+) -> jnp.ndarray:
+    """Fit Sim(3) S21 (4x4, [[s R, t], [0, 1]]) with p2 ~= s R p1 + t —
+    the scale-aware Umeyama fit (the PUT Ransac's Eigen::umeyama analog,
+    Solver/Ransac.cpp:210-245, which the reference always calls with
+    scale pinned; here scale is free for cross-session map merging where
+    depth-factor miscalibration makes the two maps' scales differ).
+
+    Same Horn-quaternion rotation as weighted_rigid_transform; the optimal
+    scale under it is s = sum w q2.(R q1) / sum w |q1|^2.
+    """
+    wsum = jnp.sum(w, axis=-1, keepdims=True)
+    wn = w / jnp.maximum(wsum, 1e-12)
+    c1 = jnp.sum(wn[..., None] * p1, axis=-2)
+    c2 = jnp.sum(wn[..., None] * p2, axis=-2)
+    q1 = p1 - c1[..., None, :]
+    q2 = p2 - c2[..., None, :]
+    S = jnp.einsum("...n,...ni,...nj->...ij", wn, q1, q2)
+    quat_wxyz = _horn_quaternion(S, iters)
+    q_xyzw = jnp.concatenate([quat_wxyz[..., 1:], quat_wxyz[..., :1]], axis=-1)
+    R = se3.rotation_from_quat(q_xyzw)
+    rq1 = (R @ jnp.swapaxes(q1, -1, -2))  # (..., 3, N)
+    num = jnp.einsum("...n,...in,...ni->...", wn, rq1, q2)
+    den = jnp.einsum("...n,...ni,...ni->...", wn, q1, q1)
+    s = num / jnp.maximum(den, 1e-12)
+    s = jnp.maximum(s, 1e-6)
+    t = c2 - s[..., None] * (R @ c1[..., None])[..., 0]
+    T = se3.from_Rt(s[..., None, None] * R, t)
+    degenerate = (wsum[..., 0] <= 1e-12)[..., None, None]
+    return jnp.where(degenerate, jnp.eye(4, dtype=T.dtype), T)

@@ -330,6 +330,8 @@ class PoseGraph:
         fixed = np.zeros((Kp,), dtype=bool)
         fixed[0] = True          # vertex 0 gauge (Solver/PoseGraph.cpp:358)
         fixed[K:] = True         # padding vertices pinned
+        from rgbdslam_tpu.utils.rpccount import RPC
+
         if Kp >= self.cg_threshold:
             # large-map path: matrix-free preconditioned CG, O(K + E) memory
             from rgbdslam_tpu.solvers.cg import optimize_pose_graph_cg
@@ -343,6 +345,8 @@ class PoseGraph:
                 jnp.asarray(Twc), edges, jnp.asarray(fixed),
                 iterations, self.huber_delta,
             )
+        RPC.dispatches += 1
+        RPC.fetches += 1
         out = np.asarray(Twc_opt)[:K]
         self.Twc[:K] = out
         return out

@@ -225,3 +225,43 @@ def test_batched_tracking_matches_per_frame():
     assert abs(s2.store.count - s1.store.count) <= 0.2 * s1.store.count + 1
     assert r1 < 0.12 and r2 < 0.12, (r1, r2)
     assert r2 < max(1.5 * r1, 0.05), (r2, r1)
+
+
+def test_double_buffered_batches_match_sequential():
+    """Dispatch-ahead pipelining (track_batch_dispatch(i+1) before
+    track_batch_complete(i)) must reproduce the sequential track_batch
+    trajectory exactly when ADAPTIVE is off: the scan carry chains on
+    device and is independent of host completion."""
+    cfg = SlamConfig(
+        extractor=ExtractorConfig(num_features=512, num_levels=3,
+                                  cell_size=8, fast_threshold=15.0),
+        loop=LoopConfig(id_interval=12, min_kfs_since_loop=10,
+                        vocab_size=256),
+    )
+    n, B = 32, 8
+    ds = SyntheticDataset(n_frames=n, cam=CAM, trajectory="orbit")
+    frames = [ds.grab(i) for i in range(n)]
+
+    s1 = SlamSystem(CAM, cfg, seed=0)
+    for i in range(0, n, B):
+        c = frames[i:i + B]
+        s1.track_batch([x[0] for x in c], [x[1] for x in c],
+                       [x[2] for x in c])
+    s1.finish()
+    t1, p1 = s1.camera_trajectory()
+
+    s2 = SlamSystem(CAM, cfg, seed=0)
+    pending = None
+    for i in range(0, n, B):
+        c = frames[i:i + B]
+        h = s2.track_batch_dispatch([x[0] for x in c], [x[1] for x in c],
+                                    [x[2] for x in c])
+        if pending is not None:
+            s2.track_batch_complete(pending)
+        pending = h
+    s2.track_batch_complete(pending)
+    s2.finish()
+    t2, p2 = s2.camera_trajectory()
+
+    assert s1.store.count == s2.store.count
+    np.testing.assert_allclose(p2, p1, atol=1e-5)
