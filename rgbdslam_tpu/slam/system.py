@@ -527,7 +527,15 @@ class SlamSystem:
                 bow_scores(vec, jnp.asarray(ld.bow_db[: ld.count]))
             )
         n_cand = min(self.cfg.reloc_max_candidates, ld.count)
-        cands = [int(j) for j in np.argsort(-scores)[:n_cand]]
+        # the most recent keyframe is always a candidate: the reference
+        # re-localizes against the latest distinct KF (Tracking::correct,
+        # System/Tracking.cpp:165-193), and after a short sensor dropout it
+        # is by far the likeliest match — BoW ranking alone can miss it
+        # when the online vocabulary is still coarse
+        cands = [ld.count - 1]
+        cands += [int(j) for j in np.argsort(-scores)[:n_cand]
+                  if int(j) != ld.count - 1]
+        cands = cands[:n_cand]
 
         # batched match + RANSAC, reusing the proximity-verification program
         # (same padded candidate shape -> no new compile)

@@ -65,15 +65,23 @@ def test_merge_recovers_depth_scale(sessions):
     # B's scales must be mutually consistent (one rigid session)
     assert np.std(sb) < 0.02
 
-    # B's merged keyframe positions must land on the ground truth (metric)
-    ts_b = sys_b.store.timestamps[: sys_b.store.count]
-    centers = res.Twc[Ka:, :3, 3]
-    idx = np.searchsorted(ds.timestamps, ts_b)
-    gt = ds.poses_twc[np.clip(idx, 0, N - 1), :3, 3]
-    # gauge: A's KF0 pins the world frame to GT's (session A starts at
-    # tour pose 0, tracked not exact) — allow a small common offset
-    err = np.linalg.norm(centers - gt, axis=-1)
-    assert np.median(err) < 0.12, np.median(err)
+    # the merged joint trajectory (A + B in ONE frame) must align to the
+    # ground truth as a single rigid body: ate_rmse's SE(3) alignment
+    # absorbs the map-frame gauge (A's world = its first camera pose), so
+    # any misplacement of B *relative to A* shows up as error
+    from rgbdslam_tpu.eval.ate import ate_rmse
+
+    ts_all = np.concatenate([
+        sys_a.store.timestamps[:Ka],
+        sys_b.store.timestamps[: sys_b.store.count],
+    ])
+    order = np.argsort(ts_all)
+    rmse, _ = ate_rmse(ts_all[order], res.Twc[order],
+                       ds.timestamps, ds.poses_twc)
+    # bound includes each half-session's own open-loop drift (~19 m path,
+    # no intra-session loop closures in a half tour); the merge must not
+    # add misplacement beyond that class
+    assert rmse < 0.25, f"merged joint ATE {rmse:.3f}"
 
 
 def test_merge_equal_scale_control(sessions):

@@ -50,8 +50,11 @@ def test_mid_batch_failure_burst_relocalizes():
     """A 4-frame blackout inside a batch: both per-frame and batched paths
     must enter LOST, relocalize via BoW once real frames return, and finish
     with comparable trajectory quality on the surviving frames."""
-    n, B = 48, 8
-    lo, hi = 20, 24     # blackout spans a batch boundary (frames 20-23)
+    # 96-frame orbit (3.75 deg/frame — Kinect-class motion); a faster orbit
+    # makes the post-blackout view share too little with the last keyframe
+    # for ANY verifier (3 RANSAC inliers at 50 deg of unseen rotation)
+    n, B = 96, 8
+    lo, hi = 40, 44     # blackout spans a batch boundary (frames 40-43)
     ds, frames = _frames_with_blackout(n, lo, hi)
 
     def ate_of(system):
