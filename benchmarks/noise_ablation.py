@@ -49,6 +49,16 @@ def build_configs():
         "mahal+dense+gba": var(
             ransac=RansacConfig(mahalanobis_refine=True),
             use_dense_icp=True, use_global_ba=True),
+        # shipped-vocabulary variants: the online 256-word codebook may be
+        # too coarse to retrieve loop candidates under sensor noise, and a
+        # missed loop closure dominates end-drift on the ~19 m tour
+        "voc": base,
+        "voc+mahal": var(ransac=RansacConfig(mahalanobis_refine=True)),
+        "voc+dense": var(use_dense_icp=True),
+        "voc+mahal+dense": var(
+            ransac=RansacConfig(mahalanobis_refine=True),
+            use_dense_icp=True),
+        "voc+dense+gba": var(use_dense_icp=True, use_global_ba=True),
     }
 
 
@@ -64,6 +74,10 @@ def run_one(name, cfg, frames, noise: bool):
     ds = SyntheticDataset(n_frames=frames, cam=cam, trajectory="tour",
                           noise=noise, seed=0)
     system = SlamSystem(cam, cfg, seed=0)
+    if name.startswith("voc"):
+        from rgbdslam_tpu.loop.vocabulary import shipped_vocabulary
+
+        system.load_vocabulary(shipped_vocabulary("svo_fast"))
     t0 = time.perf_counter()
     for i in range(frames):
         ts, gray, depth = ds.grab(i)

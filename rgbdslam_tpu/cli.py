@@ -44,6 +44,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "dispatch (maximum throughput; no keyframes/backend)")
     p.add_argument("--dense-icp", action="store_true",
                    help="dense projective point-to-plane refinement per frame")
+    p.add_argument("--noise-robust", action="store_true",
+                   help="the measured noisy-sensor preset (BASELINE.md "
+                        "ablation): dense ICP + shipped vocabulary "
+                        "(0.217 -> 0.086 m on the Kinect-noise tour)")
     p.add_argument("--local-ba", action="store_true",
                    help="sliding-window landmark bundle adjustment")
     p.add_argument("--global-ba", action="store_true",
@@ -131,7 +135,7 @@ def main(argv=None) -> int:
             fast_threshold=args.fast_threshold,
         ),
         loop=LoopConfig(id_interval=args.loop_interval),
-        use_dense_icp=args.dense_icp,
+        use_dense_icp=args.dense_icp or args.noise_robust,
         use_local_ba=args.local_ba,
         use_global_ba=args.global_ba,
         detector=args.detector,

@@ -22,14 +22,18 @@ from rgbdslam_tpu.geometry.camera import Camera
 from rgbdslam_tpu.io.synthetic import orbit_trajectory, render_frame
 from rgbdslam_tpu.loop.detector import LoopDetector
 
-VOC = os.path.join(os.path.dirname(__file__), "..",
-                   "rgbdslam_tpu", "assets", "voc_synth_fast_brief.npz")
+ASSETS = os.path.join(os.path.dirname(__file__), "..",
+                      "rgbdslam_tpu", "assets")
 CAM = Camera(200.0, 200.0, 159.5, 119.5, width=320, height=240)
 CFG = ExtractorConfig(num_features=512, num_levels=3, cell_size=8,
                       fast_threshold=15.0)
 
 
-def test_retrieval_recall_at_5_long_multiloop():
+@pytest.mark.parametrize("detector,vocname", [
+    ("svo_fast", "voc_synth_fast_brief.npz"),
+    ("orb", "voc_synth_orb.npz"),      # ORB-steered artifact (round-3 #7)
+])
+def test_retrieval_recall_at_5_long_multiloop(detector, vocname):
     K = 160
     id_interval = 25          # ~half a revolution (one loop = 50 KFs)
     poses = orbit_trajectory(K, loops=3.2)
@@ -39,12 +43,15 @@ def test_retrieval_recall_at_5_long_multiloop():
 
     cfg = LoopConfig(id_interval=id_interval, vocab_size=4096)
     ld = LoopDetector(cfg, max_keyframes=K + 2)
-    ld.load_vocabulary(VOC)
+    ld.load_vocabulary(os.path.join(ASSETS, vocname))
     assert ld.words is not None and ld.idf.shape[0] == 4096
 
+    from rgbdslam_tpu.frontend.extractor import Extractor
+
+    ex = Extractor(CAM, CFG, detector=detector)
     for k in range(K):
         gray, depth = render_frame(CAM, jnp.asarray(poses[k]))
-        f = build_frame_features(CAM, gray, depth, CFG)
+        f = ex(gray, depth)
         # connections: odometry neighbor + same-revolution proximity (these
         # are excluded from candidacy, like the live system's proximity edges)
         conn = {k - 1} if k > 0 else set()
