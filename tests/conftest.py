@@ -20,3 +20,21 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled-executable references after each test module.
+
+    The full suite compiles hundreds of distinct XLA:CPU programs in one
+    process; holding them all alive grows the process past ~5 GB, at which
+    point the XLA:CPU compiler segfaults deterministically on the next large
+    compile (reproduced: the same test passes in isolation and in either
+    half of the suite, and crashes only with the full prefix's accumulated
+    state). Clearing per module keeps the process small; shared shapes
+    recompile, which costs ~10-20 % wall time.
+    """
+    yield
+    jax.clear_caches()
