@@ -82,6 +82,12 @@ def run_multiprocess(num_processes: int, vertices: int, edges: int,
         "global_devices": outs[0]["global_devices"],
         "vertices": vertices, "edges": edges,
         "gn_iters_per_s": outs[0].get("gn_iters_per_s"),
+        "caveat": (
+            f"{num_processes} OS processes x 4 virtual CPU devices sharing "
+            f"{os.cpu_count()} host cores — validates the multi-host code "
+            "path (gloo collectives across process boundaries); wall-clock "
+            "scaling on shared cores UNDERSTATES real pod-slice hardware"
+        ),
     }))
 
 
@@ -177,7 +183,7 @@ def main():
             print(f"[{name}] devices={n_dev:2d}: {iters_per_s:8.2f} GN iters/s "
                   f"(eff {eff:.2f})", file=sys.stderr)
 
-    print(json.dumps({
+    out = {
         "metric": "dist_ba_iters_per_s",
         "vertices": K, "edges": E,
         "comm_per_gn_iter_bytes": {
@@ -185,7 +191,16 @@ def main():
             "cg": 4 * (36 * K + 6 * K + args.cg_iters * 6 * K),
         },
         "results": results,
-    }))
+    }
+    if args.virtual:
+        out["caveat"] = (
+            f"{args.virtual} virtual CPU devices share {os.cpu_count()} host "
+            "cores: scaling_eff here is a program-validity check, not a "
+            "hardware scaling measurement — it UNDERSTATES real ICI scaling "
+            "by construction (BASELINE.md's >=70%-at-2-hosts target needs a "
+            "pod slice)"
+        )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
