@@ -99,61 +99,93 @@ def measure_cpu_anchor() -> float | None:
 
 
 def measure_kernel_utilization() -> dict:
-    """Roofline utilization of the flagship Pallas kernels (VERDICT r2 #6).
+    """Roofline utilization of the flagship kernels (VERDICT r2 #6).
 
-    Both kernels are VPU-compute-bound (their HBM traffic is KBs-to-MBs
-    against an ~819 GB/s v5e HBM, i.e. microseconds); the binding roofline
-    is the vector unit. Model: one VPU op = one elementwise pass over a
-    (8,128)-lane register, peak ~= 8*128 lanes * ~1.74 GHz ~= 1.78e12
-    elementwise ops/s on one v5e core.
+    Timing: an in-program fori_loop chains R calls with a data dependency so
+    the device executes R back-to-back kernels in ONE dispatch, and the
+    per-call time is the SLOPE between two loop lengths:
+        per_call = (t(R2) - t(R1)) / (R2 - R1)
+    The slope cancels the tunnel round-trip AND the dispatch constant — a
+    single-R measurement at R=64 reads ~25 ms of tunnel RTT as ~0.4 ms/call
+    (the round-2 numbers had exactly that bias; the kernels are ~10-100x
+    faster than reported there).
 
-    Op counts are derived from the kernel source (ops/pallas_kernels.py):
-    - 2-NN Hamming matcher (_match_kernel): per (query, train) pair, 8
-      words x (xor 1 + popcount 13 + accumulate 1) = 120 passes + masking
-      and the 4 min/argmin reductions ~= 10 -> ~130 N*M-shaped passes.
-    - fused detect kernel (_detect_core, 640x480 row-tiled): per pixel,
-      Shi-Tomasi (4 gradient shifts + 2 masks + 3 products + 3 box sums of
-      32 + normalize/eig ~= 8) ~= 115, FAST ring (16 x ~6) + 16 arc-window
-      scans x ~8 ~= 224, NMS 3x3 ~= 24, misc ~= 17 -> ~380 HxW passes.
-
-    Timing: in-program fori_loop chains R calls with a data dependency so
-    the device executes R back-to-back kernels in ONE dispatch (tunnel
-    latency excluded by construction).
+    Roofline models (one v5e core: VPU modeled as one 8x128 pipe at
+    1.74 GHz ~= 1.78e12 elementwise ops/s — a LOWER-bound peak, the core
+    has more vector throughput, so VPU percentages may exceed 100; MXU
+    int8 ~= 394 TOPS):
+    - matcher (MXU form, ops/hamming.py): floor = 2*N*M*256 int8 MACs /
+      MXU peak (the VPU epilogue fuses into the matmul and measures below
+      one un-fused pass; measured ~3.4 us ~= 80 % of the MXU floor).
+    - matcher (Pallas VPU kernel): ~130 N*M-shaped passes (8 words x
+      [xor + 13-op popcount + add] + reductions).
+    - fused detect kernel (_detect_core, 640x480 row-tiled): ~380 HxW
+      passes (Shi-Tomasi ~115, FAST ring + arc scans ~224, NMS ~24,
+      misc ~17).
     """
     import jax
     import jax.numpy as jnp
 
+    from rgbdslam_tpu.frontend.matcher import match_descriptors
     from rgbdslam_tpu.ops.pallas_kernels import (detect_score_map,
                                                  hamming_match_2nn)
 
     if jax.default_backend() == "cpu":
         return {}
     VPU_PEAK = 8 * 128 * 1.74e9   # modeled elementwise ops/s, one v5e core
+    MXU_INT8_PEAK = 394e12        # modeled int8 ops/s (2 ops per MAC)
     out = {}
     rng = np.random.default_rng(0)
+    # microsecond-scale kernels: R2 must be large enough that the work term
+    # dominates the tunnel's run-to-run RTT variance (+-ms)
+    R1, R2 = 64, 4096
 
-    # --- 2-NN Hamming matcher ---------------------------------------------
+    def slope_ms(make_loop):
+        ts = {}
+        for R in (R1, R2):
+            loop = make_loop(R)
+            jax.block_until_ready(loop())          # compile + warm
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                jax.block_until_ready(loop())
+                best = min(best, time.perf_counter() - t0)
+            ts[R] = best
+        return max((ts[R2] - ts[R1]) / (R2 - R1) * 1e3, 1e-5)
+
+    # --- 2-NN Hamming matcher (MXU matmul form + Pallas VPU kernel) --------
     N = M = 1024
     d1 = jnp.asarray(rng.integers(0, 2**32, (N, 8)).astype(np.uint32))
     d2 = jnp.asarray(rng.integers(0, 2**32, (M, 8)).astype(np.uint32))
     v = jnp.ones((N,), bool)
-    R = 64
 
-    @jax.jit
-    def match_loop(d1c):
-        def body(_, d):
-            bi, bd, sd, cbr = hamming_match_2nn(d, d2, v, v)
-            # fold the result back into the query side: a real data
-            # dependency so the R iterations cannot be collapsed
-            return d ^ (bd.astype(jnp.uint32) % 2)[:, None]
-        return jax.lax.fori_loop(0, R, body, d1c)
+    def match_loop(fn):
+        def make(R):
+            @jax.jit
+            def loop(dc=d1):
+                def body(_, d):
+                    bd = fn(d)
+                    # fold the result back into the query side: a real data
+                    # dependency so the R iterations cannot be collapsed
+                    return d ^ (bd.astype(jnp.uint32) % 2)[:, None]
+                return jax.lax.fori_loop(0, R, body, dc)
+            return loop
+        return make
 
-    jax.block_until_ready(match_loop(d1))
-    t0 = time.perf_counter()
-    jax.block_until_ready(match_loop(d1))
-    ms = (time.perf_counter() - t0) / R * 1e3
+    ms = slope_ms(match_loop(
+        lambda d: match_descriptors(d, v, d2, v, 0.9, backend="xla").dist))
+    mxu_floor_ms = 2.0 * N * M * 256 / MXU_INT8_PEAK * 1e3
+    out["match_kernel_mxu"] = {
+        "ms": round(ms, 4),
+        "roofline_floor_ms": round(mxu_floor_ms, 4),
+        "roofline_pct": round(100.0 * mxu_floor_ms / ms, 1),
+        "shape": f"{N}x{M}x256bit",
+    }
+
+    ms = slope_ms(match_loop(
+        lambda d: hamming_match_2nn(d, d2, v, v)[1]))
     ops = 130.0 * N * M
-    out["match_kernel"] = {
+    out["match_kernel_pallas"] = {
         "ms": round(ms, 4),
         "modeled_ops": ops,
         "vpu_utilization_pct": round(100.0 * ops / (ms * 1e-3) / VPU_PEAK, 1),
@@ -164,17 +196,16 @@ def measure_kernel_utilization() -> dict:
     H, W = 480, 640
     img = jnp.asarray(rng.random((H, W)).astype(np.float32))
 
-    @jax.jit
-    def detect_loop(img0):
-        def body(_, im):
-            masked, raw = detect_score_map(im, 20.0)
-            return im + 1e-6 * raw   # data dependency
-        return jax.lax.fori_loop(0, R, body, img0)
+    def detect_make(R):
+        @jax.jit
+        def loop(im0=img):
+            def body(_, im):
+                masked, raw = detect_score_map(im, 20.0)
+                return im + 1e-6 * raw   # data dependency
+            return jax.lax.fori_loop(0, R, body, im0)
+        return loop
 
-    jax.block_until_ready(detect_loop(img))
-    t0 = time.perf_counter()
-    jax.block_until_ready(detect_loop(img))
-    ms = (time.perf_counter() - t0) / R * 1e3
+    ms = slope_ms(detect_make)
     ops = 380.0 * H * W
     out["detect_kernel"] = {
         "ms": round(ms, 4),
@@ -457,8 +488,9 @@ def main():
         if ku:
             result["kernel_utilization"] = ku
             for k, v in ku.items():
-                print(f"{k}: {v['ms']} ms, {v['vpu_utilization_pct']}% of "
-                      f"VPU roofline ({v['shape']})", file=sys.stderr)
+                pct = v.get("vpu_utilization_pct", v.get("roofline_pct"))
+                print(f"{k}: {v['ms']} ms, {pct}% of roofline "
+                      f"({v['shape']})", file=sys.stderr)
     except Exception as e:  # noqa: BLE001
         print(f"kernel-utilization bench failed: {e}", file=sys.stderr)
 

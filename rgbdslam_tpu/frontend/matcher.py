@@ -49,10 +49,13 @@ def match_descriptors(
 ) -> MatchResult:
     """Core 2-NN ratio + mutual-nearest matching on packed descriptors.
 
-    backend: 'auto' (Pallas kernel on TPU, XLA elsewhere), 'xla', or
-    'pallas'. Both paths compute identical results: (i -> j) is kept iff j is
-    i's nearest train, i is j's nearest query (mutual-nearest dedup), and the
-    Lowe ratio passes.
+    backend: 'auto' (MXU matmul-form distances on TPU via ops/hamming.py,
+    popcount elsewhere), 'xla' (same dispatch), or 'pallas' (the hand-tiled
+    VPU kernel — kept as a comparison point / CPU-interpret oracle; the
+    fused MXU form measures ~20x faster on-chip, see
+    benchmarks/mxu_match_probe.py). All paths compute identical distances:
+    (i -> j) is kept iff j is i's nearest train, i is j's nearest query
+    (mutual-nearest dedup), and the Lowe ratio passes.
 
     Float descriptors (SIFT/SURF-class, ops/descriptors.py) dispatch to the
     L2 path — the reference picks NORM_HAMMING vs NORM_L2 from the descriptor
@@ -60,10 +63,7 @@ def match_descriptors(
     """
     if jnp.issubdtype(desc1.dtype, jnp.floating):
         return _match_descriptors_l2(desc1, valid1, desc2, valid2, ratio)
-    use_pallas = backend == "pallas" or (
-        backend == "auto" and jax.default_backend() == "tpu"
-    )
-    if use_pallas:
+    if backend == "pallas":
         from rgbdslam_tpu.ops.pallas_kernels import hamming_match_2nn
 
         best_idx, best_dist, second_dist, col_best = hamming_match_2nn(

@@ -38,6 +38,23 @@ def test_kernel_matches_xla_reference():
     )
 
 
+def test_mxu_form_bit_exact_vs_popcount():
+    """The matmul identity d = pop(a)+pop(b)-2*<bits(a),bits(b)> must be
+    bit-exact against the XOR+popcount form, including validity masking."""
+    rng = np.random.default_rng(7)
+    n, m = 384, 512
+    d1 = jnp.asarray(rng.integers(0, 2**32, size=(n, 8), dtype=np.uint32))
+    d2 = jnp.asarray(rng.integers(0, 2**32, size=(m, 8), dtype=np.uint32))
+    v1 = jnp.asarray(rng.random(n) > 0.1)
+    v2 = jnp.asarray(rng.random(m) > 0.1)
+    a = hamming.hamming_distance_matrix(d1, d2, v1, v2, impl="popcount")
+    b = hamming.hamming_distance_matrix(d1, d2, v1, v2, impl="mxu")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # knn2 epilogue on the same matrix is deterministic (same argmin path)
+    for x, y in zip(hamming.knn2(a), hamming.knn2(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_match_descriptors_backends_agree():
     rng = np.random.default_rng(1)
     n = 256
