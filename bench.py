@@ -232,6 +232,34 @@ def measure_rpc_latency(n: int = 20) -> float:
     return float(np.median(lat))
 
 
+def measure_fetch_bandwidth() -> float:
+    """Asymptotic device->host fetch bandwidth (MB/s) over the tunnel —
+    what the per-batch stacked keyframe-blob fetch pays beyond the RTT
+    floor. Each rep fetches a FRESH buffer: np.asarray of the same jax
+    buffer is cached host-side and would measure a memcpy."""
+    import jax
+    import jax.numpy as jnp
+
+    add = jax.jit(lambda x, c: x + c)
+    n = int(8e6 / 4)                      # 8 MB of f32
+    base = jnp.arange(n, dtype=jnp.float32)
+    jax.block_until_ready(base)
+
+    def fetch_s(m, reps=3):
+        best = float("inf")
+        for i in range(reps):
+            y = add(base[:m], float(i))
+            jax.block_until_ready(y)
+            t0 = time.perf_counter()
+            np.asarray(y)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    rtt = fetch_s(64)
+    big = fetch_s(n)
+    return 8.0 / max(big - rtt, 1e-3)
+
+
 def measure_full_slam(n_frames: int = 128) -> dict:
     """Wall-clock fps of the complete SlamSystem (keyframes + proximity +
     BoW loop detection + closure + graph solves) on the multi-room tour —
@@ -323,6 +351,7 @@ def measure_full_slam(n_frames: int = 128) -> dict:
     # colocated chip pays ~0.1 ms for the same op. implied_colocated_fps
     # subtracts the measured tunnel premium from the measured RPC count.
     rpc_ms = measure_rpc_latency() * 1e3
+    bw = measure_fetch_bandwidth()
     best = min((per_frame, b8, b32), key=lambda s: 1.0 / max(s["fps"], 1e-9))
     tunnel_premium_s = best["rpc_count"] * max(rpc_ms - 0.1, 0.0) / 1e3
     implied = n_frames / max(best["wall_s"] - tunnel_premium_s,
@@ -345,6 +374,7 @@ def measure_full_slam(n_frames: int = 128) -> dict:
         "full_slam_fetch_wait_s_b8": b8["fetch_wait_s"],
         "full_slam_host_busy_s_b8": b8["host_busy_s"],
         "tunnel_rpc_ms": round(rpc_ms, 2),
+        "tunnel_bw_mb_s": round(bw, 1),
         "implied_colocated_fps": round(implied, 1),
     }
 
