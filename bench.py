@@ -257,7 +257,12 @@ def measure_fetch_bandwidth() -> float:
 
     rtt = fetch_s(64)
     big = fetch_s(n)
-    return 8.0 / max(big - rtt, 1e-3)
+    if big <= rtt:
+        # tunnel jitter corrupted the sample (the 8 MB fetch "beat" the
+        # small-fetch RTT) — report an invalid measurement instead of a
+        # fabricated up-to-8000 MB/s number (ADVICE r3)
+        return float("nan")
+    return 8.0 / (big - rtt)
 
 
 def measure_full_slam(n_frames: int = 128) -> dict:

@@ -38,6 +38,15 @@ import numpy as np
 
 
 def time_kfs(system_factory, layout: str, n1: int = 4, n2: int = 24) -> dict:
+    """Slope-timed per-KF cost of the fused backend program.
+
+    Measurement caveat (ADVICE r3): the timed loop runs `_kf_dispatch`, so
+    the slope includes the per-KF HOST work inside it (center argsort,
+    has_edge scans, meta packing) and the dispatch-enqueue overhead — it is
+    an UPPER BOUND on a host+device pipeline step, not pure device compute.
+    The device-only figure would need pre-built metas + direct _kf_fused
+    calls; the pipeline bound is what the full-SLAM wall actually pays, so
+    it is the number the BASELINE time-budget table wants."""
     import jax
 
     def run(n: int) -> float:

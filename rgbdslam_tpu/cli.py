@@ -78,6 +78,15 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(map_viewer.html; the Pangolin Viewer analog for "
                         "headless hosts)")
     p.add_argument("--plot", action="store_true")
+    p.add_argument("--distributed", action="store_true",
+                   help="run the live backend solves (pose graph + global "
+                        "BA) sharded over every visible device via shard_map "
+                        "+ psum (parallel/dist_ba.py); no-op on 1 device")
+    p.add_argument("--live-export", type=int, default=0, metavar="N",
+                   help="during the run, rewrite map_viewer.html + "
+                        "trajectory.png every N keyframes (the offline "
+                        "analog of the reference's live Pangolin render "
+                        "loop, Drawer/Viewer.cpp:83-136)")
     p.add_argument("--native-loader", action="store_true",
                    help="use the C++ prefetching PNG loader for disk datasets")
     p.add_argument("--eval-gt", default=None,
@@ -140,6 +149,7 @@ def main(argv=None) -> int:
         use_global_ba=args.global_ba,
         detector=args.detector,
         adaptive=args.adaptive,
+        distributed=args.distributed,
     )
 
     if args.pipelined and not args.odometry_only:
@@ -164,6 +174,8 @@ def main(argv=None) -> int:
                 print(f"vocabulary: {vocab}", file=sys.stderr)
         if vocab and vocab.lower() != "none":
             system.load_vocabulary(vocab)
+        if args.live_export > 0:
+            system.live_export = (args.live_export, args.out_dir)
 
     timer = StageTimer()
     n = min(len(ds), args.frames)

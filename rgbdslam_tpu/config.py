@@ -241,6 +241,11 @@ class SlamConfig:
     lost_after: int = 3              # consecutive VO failures before LOST
     reloc_min_inliers: int = 20      # RANSAC inliers to accept a candidate
     reloc_max_candidates: int = 3    # top BoW candidates verified per attempt
+    # distributed backend: when True and jax.device_count() > 1, every live
+    # pose-graph solve and global BA rides a 1-D device mesh (edge-/landmark-
+    # sharded shard_map + psum, parallel/dist_ba.py) — the multi-chip analog
+    # of the reference's always-on backend thread (Solver/PoseGraph.cpp:59-103)
+    distributed: bool = False
 
 
 DEFAULT_CONFIG = SlamConfig()

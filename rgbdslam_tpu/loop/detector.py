@@ -124,15 +124,18 @@ class LoopDetector:
             )
         return k
 
-    def add_precomputed(self, vec: np.ndarray, connections: Set[int]) -> int:
+    def add_precomputed(self, vec, connections: Set[int]) -> int:
         """Register keyframe `count` whose BoW vector was already quantized
         on device (the fused keyframe program computes it against the device
-        codebook; this keeps the host mirror in sync with zero extra device
-        work)."""
+        codebook). `vec=None` means the vector stays in the device bank
+        (slim-blob mode) — the host row is zero until
+        SlamSystem.hydrate_host backfills it; every live scoring path uses
+        the device bank or the precomputed `scores` from the fused blob."""
         k = self.count
         self._ensure_capacity(k)
         self._connections.append(set(connections))
-        self.bow_db[k] = vec
+        if vec is not None:
+            self.bow_db[k] = vec
         self.count += 1
         return k
 

@@ -88,6 +88,25 @@ class KeyframeStore:
         self.count += 1
         return k
 
+    def fill_features_slim(self, k: int, packed: np.ndarray, cam) -> None:
+        """Fill a keyframe row from the descriptor-free slim pack (N, 4):
+        [uv_undist(2) | z(1) | 4*round(intensity) + obs_valid + 2*smooth]
+        (frontend/frame.pack_features_slim). xyz is reconstructed with the
+        same pinhole unprojection the device used (RGBDcamera::unproject,
+        Core/RGBDcamera.cpp:126-161); the descriptor row stays zero until
+        SlamSystem.hydrate_host fetches it from the device bank
+        (checkpoint/merge only)."""
+        uv = packed[:, 0:2]
+        z = packed[:, 2]
+        flags = packed[:, 3].astype(np.int32)
+        self.uv[k] = uv
+        self.xyz[k, :, 0] = (uv[:, 0] - cam.cx) / cam.fx * z
+        self.xyz[k, :, 1] = (uv[:, 1] - cam.cy) / cam.fy * z
+        self.xyz[k, :, 2] = z
+        self.intensity[k] = (flags >> 2).astype(np.float32)
+        self.obs_valid[k] = (flags & 1) > 0
+        self.smooth[k] = (flags & 2) > 0
+
     def fill_features(self, k: int, packed: np.ndarray, nd: int,
                       binary: bool) -> None:
         uv = packed[:, 0:2]

@@ -91,7 +91,9 @@ class LandmarkStore:
         uv_undist: np.ndarray,     # (N, 2)
         xyz_cam: np.ndarray,       # (N, 3)
         obs_ok: np.ndarray,        # (N,) detected + valid depth
-        desc: np.ndarray,          # (N, 8)
+        desc: Optional[np.ndarray],  # (N, 8); None = slim mode (no host
+        #                              descriptors; Landmark::mDescriptor has
+        #                              no live consumer — parity field only)
         intensity: np.ndarray,     # (N,)
         Tcw: np.ndarray,           # (4, 4)
         match_idx: Optional[np.ndarray] = None,    # (N_prev,) prev-kp -> this-kp
@@ -106,8 +108,9 @@ class LandmarkStore:
         n = len(uv_undist)
         assign = np.full((n,), -1, np.int32)
         Twc = np.linalg.inv(Tcw)
-        if kf == 0 and (self.desc.shape[1:] != desc.shape[1:]
-                        or self.desc.dtype != desc.dtype):
+        if kf == 0 and desc is not None and (
+                self.desc.shape[1:] != desc.shape[1:]
+                or self.desc.dtype != desc.dtype):
             # descriptor family decided by the first keyframe (float
             # SIFT/SURF-class are (N, 128) f32, binary (N, 8) u32)
             self.desc = np.zeros((self.L,) + desc.shape[1:], desc.dtype)
@@ -142,7 +145,8 @@ class LandmarkStore:
         if n_new > 0:
             ls = np.arange(self.count, self.count + n_new, dtype=np.int32)
             self.Xw[ls] = xyz_cam[js] @ Twc[:3, :3].T + Twc[:3, 3]
-            self.desc[ls] = desc[js]
+            if desc is not None:
+                self.desc[ls] = desc[js]
             self.intensity[ls] = intensity[js]
             self.valid[ls] = True
             self.obs_kf[ls, 0] = kf

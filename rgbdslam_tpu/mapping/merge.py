@@ -104,6 +104,9 @@ def merge_maps(
     Both systems must have BoW databases of the same width (shared
     vocabulary). Raises ValueError when no inter-session pair verifies.
     """
+    for s in (sys_a, sys_b):
+        if hasattr(s, "hydrate_host"):
+            s.hydrate_host()     # slim-blob mode defers host desc/BoW rows
     Ka, Kb = sys_a.store.count, sys_b.store.count
     dba = sys_a.loop_detector.bow_db[:Ka]
     dbb = sys_b.loop_detector.bow_db[:Kb]

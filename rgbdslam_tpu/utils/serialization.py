@@ -16,6 +16,10 @@ import numpy as np
 
 def save_map(path: str, system) -> None:
     """Serialize a SlamSystem's persistent state to one .npz file."""
+    if hasattr(system, "hydrate_host"):
+        # slim-blob mode defers descriptor/BoW rows on the device bank;
+        # checkpointing is the consumer that needs them on host
+        system.hydrate_host()
     store = system.store
     graph = system.graph
     det = system.loop_detector

@@ -247,7 +247,10 @@ def test_sift_run_builds_bow_database():
     assert system.store.count >= 8
     assert ld.words is not None, "float codebook never trained"
     assert ld.words.dtype == np.float32 or str(ld.words.dtype) == "float32"
-    # every registered KF carries a nonzero BoW vector
+    # every registered KF carries a nonzero BoW vector (keyframes after
+    # training completes ship the slim blob — their host rows hydrate from
+    # the device bank on demand)
+    system.hydrate_host()
     norms = np.abs(ld.bow_db[: ld.count]).sum(axis=1)
     assert (norms > 0).all()
     # retrieval machinery produces finite scores against the database
