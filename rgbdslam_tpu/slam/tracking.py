@@ -237,6 +237,9 @@ class Tracker:
         # finishes the host bookkeeping after ONE stacked fetch per batch
         self.on_keyframe_dispatch = None
         self.on_keyframe_complete = None
+        # called once per completed batch (after all pending keyframes) —
+        # the backend flushes its deferred loop verifications here
+        self.on_batch_complete = None
         # LOST-state relocalization hook, installed by SlamSystem:
         # callback(FrameFeatures) -> (ok, Tcw). The reference's LOST never
         # persists (recover() holds the pose, System/Tracking.cpp:195-199);
@@ -413,15 +416,21 @@ class Tracker:
                         self.consecutive_failures = 0
                         self.stats.relocalizations += 1
             if kf_flag and self.state is TrackerState.OK and self.keyframes:
-                f_i = self._slice_feats(feats, i)
                 if self.on_keyframe_dispatch is not None:
                     # pipelined backend: dispatch now (device-chained via the
-                    # donated bank), complete after ONE stacked blob fetch
-                    self.keyframes.append((ts, f_i, Tcw.copy()))
+                    # donated bank), complete after ONE stacked blob fetch.
+                    # The keyframe's features are row i of the scan output —
+                    # gathered INSIDE the fused program (feats_batch), so no
+                    # per-KF slice launch; the host registry keeps no feature
+                    # reference (nothing reads it — the store/bank are
+                    # authoritative)
+                    self.keyframes.append((ts, None, Tcw.copy()))
                     self.last_kf_Tcw = Tcw.copy()
                     pending.append(self.on_keyframe_dispatch(
-                        len(self.keyframes) - 1, ts, f_i, Tcw.copy()))
+                        len(self.keyframes) - 1, ts, None, Tcw.copy(),
+                        feats_batch=feats, batch_row=i))
                 else:
+                    f_i = self._slice_feats(feats, i)
                     self._create_keyframe(ts, f_i, Tcw)
                     # adopt any backend correction of the keyframe's pose
                     Tcw = self.keyframes[-1][2].copy()
@@ -441,6 +450,10 @@ class Tracker:
             blobs = RPC.fetch(jnp.stack([hk["blob"] for hk in pending]))
             for hk, row in zip(pending, blobs):
                 self.on_keyframe_complete(hk, row)
+        if self.on_batch_complete is not None:
+            # deferred backend work (loop-closure verification fetch) —
+            # ONE stacked round trip per batch
+            self.on_batch_complete()
         return out
 
     # ------------------------------------------------------------------

