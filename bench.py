@@ -421,6 +421,8 @@ def measure_full_slam(n_frames: int = 128) -> dict:
         "full_slam_batched32_rpcs_per_frame": b32["rpcs_per_frame"],
         "full_slam_fetch_wait_s_b8": b8["fetch_wait_s"],
         "full_slam_host_busy_s_b8": b8["host_busy_s"],
+        "full_slam_fetch_wait_s_b32": b32["fetch_wait_s"],
+        "full_slam_host_busy_s_b32": b32["host_busy_s"],
         "tunnel_rpc_ms": round(rpc_ms, 2),
         "tunnel_bw_mb_s": round(bw, 1),
         "implied_colocated_fps": round(implied, 1),

@@ -691,15 +691,13 @@ class SlamSystem:
             # exactly the per-RPC cost the fused paths eliminate
             words, idf = self._bow_dev
             RPC.dispatches += 1
-            RPC.fetches += 1
-            scores = np.asarray(bow_scores(
+            scores = RPC.fetch(bow_scores(
                 bow_vector(f.desc, f.obs_valid, words, idf), self._bank[3]
             ))[: ld.count]
         else:
             vec = bow_vector(f.desc, f.obs_valid, ld.words, ld.idf)
             RPC.dispatches += 1
-            RPC.fetches += 1
-            scores = np.asarray(
+            scores = RPC.fetch(
                 bow_scores(vec, jnp.asarray(ld.bow_db[: ld.count]))
             )
         n_cand = min(self.cfg.reloc_max_candidates, ld.count)
@@ -812,9 +810,8 @@ class SlamSystem:
             self.cam, problem, fixed, self.cfg.ba_iterations
         )
         RPC.dispatches += 1
-        RPC.fetches += 2
-        Tcw_opt = np.asarray(Tcw_opt)
-        self.landmarks.update_from_solution(lm_ids, np.asarray(Xw_opt))
+        Tcw_opt = RPC.fetch(Tcw_opt)
+        self.landmarks.update_from_solution(lm_ids, RPC.fetch(Xw_opt))
         self.store.poses_cw[kf_lo : k + 1] = Tcw_opt
         for i, kf in enumerate(kf_ids):
             self.graph.Twc[kf] = np.linalg.inv(Tcw_opt[i]).astype(np.float32)
@@ -888,9 +885,8 @@ class SlamSystem:
                 edges=edges, edge_huber=self.graph.huber_delta,
             )
         RPC.dispatches += 1
-        RPC.fetches += 2
-        Tcw_opt = np.asarray(Tcw_opt)[:K]
-        self.landmarks.update_from_solution(lm_ids, np.asarray(Xw_opt))
+        Tcw_opt = RPC.fetch(Tcw_opt)[:K]
+        self.landmarks.update_from_solution(lm_ids, RPC.fetch(Xw_opt))
         self.store.poses_cw[:K] = Tcw_opt
         for kf in kf_ids:
             self.graph.Twc[kf] = np.linalg.inv(Tcw_opt[kf]).astype(np.float32)

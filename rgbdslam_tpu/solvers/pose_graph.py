@@ -435,7 +435,9 @@ class PoseGraph:
                 iterations, self.huber_delta, self.lm_lambda0,
             )
         RPC.dispatches += 1
-        RPC.fetches += 1
-        out = np.asarray(Twc_opt)[:K]
+        # RPC.fetch times the blocked wait (device solve + transfer + RTT)
+        # into fetch_s — without it the whole solve shows up as "host busy"
+        # in the bench accounting
+        out = RPC.fetch(Twc_opt)[:K]
         self.Twc[:K] = out
         return out
