@@ -78,15 +78,15 @@ def time_vo_batch(tracker, feats, gs, dsb) -> dict:
     import jax.numpy as jnp
     import numpy as np
 
-    carry = (feats, jnp.eye(4, dtype=jnp.float32), dsb[0])
+    carry = (feats, jnp.eye(4, dtype=jnp.float32), dsb[0],
+             jnp.float32(20.0))
     key = jax.random.PRNGKey(0)
-    thr = jnp.float32(20.0)
-    _, _, _, packed = tracker._batch_step(*carry, gs, dsb, key, thr)
+    _, _, _, packed = tracker._batch_step(*carry, gs, dsb, key)
     np.asarray(packed)                    # compile + drain
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        _, _, _, packed = tracker._batch_step(*carry, gs, dsb, key, thr)
+        _, _, _, packed = tracker._batch_step(*carry, gs, dsb, key)
         jax.block_until_ready(packed)
         best = min(best, time.perf_counter() - t0)
     B = int(gs.shape[0])

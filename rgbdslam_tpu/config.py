@@ -43,6 +43,15 @@ class ExtractorConfig:
     # correlated drift — a net loss for clean VO, a win only when depth
     # noise dominates.
     subpixel: bool = False
+    # ADAPTIVE-mode target band + threshold clamps (DetectorAdjuster /
+    # createAdaptiveDetector: 600-1020 features, Features/Extractor.cpp:95;
+    # the x0.7/x1.3 feedback lives in DetectorAdjuster.cpp:45-57). In the
+    # batched tracking scan this band is compiled into the on-device
+    # feedback, so it is config, not per-Extractor-instance, state.
+    adapt_target_min: int = 600
+    adapt_target_max: int = 1020
+    adapt_th_min: float = 3.0
+    adapt_th_max: float = 80.0
 
 
 @dataclasses.dataclass(frozen=True)

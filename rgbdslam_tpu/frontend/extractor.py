@@ -70,10 +70,10 @@ class Extractor:
         cfg: ExtractorConfig = ExtractorConfig(),
         detector: str = "svo_fast",
         adaptive: bool = False,
-        target_min: int = 600,     # Features/Extractor.cpp:95 (600-1020 band)
-        target_max: int = 1020,
-        th_min: float = 3.0,
-        th_max: float = 80.0,
+        target_min: int | None = None,   # default: cfg.adapt_target_min
+        target_max: int | None = None,   # (Features/Extractor.cpp:95 band)
+        th_min: float | None = None,
+        th_max: float | None = None,
     ):
         if detector not in self.DETECTORS:
             raise ValueError(f"unknown detector {detector!r}; one of {self.DETECTORS}")
@@ -81,10 +81,12 @@ class Extractor:
         self.cfg = cfg
         self.detector = detector
         self.adaptive = adaptive
-        self.target_min = target_min
-        self.target_max = target_max
-        self.th_min = th_min
-        self.th_max = th_max
+        self.target_min = (cfg.adapt_target_min if target_min is None
+                           else target_min)
+        self.target_max = (cfg.adapt_target_max if target_max is None
+                           else target_max)
+        self.th_min = cfg.adapt_th_min if th_min is None else th_min
+        self.th_max = cfg.adapt_th_max if th_max is None else th_max
         self.threshold = float(cfg.fast_threshold)
 
     def _resolved(self):

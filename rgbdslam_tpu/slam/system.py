@@ -119,46 +119,81 @@ def _system_programs(cam: Camera, cfg: SlamConfig) -> dict:
     # full-SLAM on the tunneled chip.
     _C = cfg.pose_graph.max_proximity_candidates
 
+    _L = cfg.loop.max_candidates
+    _interval = cfg.loop.id_interval
+
     def _kf_core(D, X, V, B, f, meta, words, idf, key, bow_on):
-        """meta: ONE (2 + C + 16,) f32 array carrying every host scalar
-        [k, kprev, idx(C), T21.ravel(16)] — each separate host argument
-        would pay its own device_put round trip over the tunnel. The
-        PRNG key evolves on device and is returned.
+        """meta: ONE (3 + C + 16,) f32 array carrying every host scalar
+        [k, kprev, n_cands, idx(C), T21.ravel(16)] — each separate host
+        argument would pay its own device_put round trip over the tunnel.
+        The PRNG key evolves on device and is returned.
 
         Blob layout (all f32): with bow_on (a vocabulary is live — the
-        deployment shape) the SLIM pack ships: (N,4) features WITHOUT
-        descriptors, packed track-extension (N,), verification rows (C,19),
-        then the BoW scores (Kbank,) — the BoW vector itself and the
-        descriptors stay on device and are hydrated lazily
-        (SlamSystem.hydrate_host; VERDICT r3 item 2: the ~90 KB/KF blob was
-        0.6-0.7 s of the 2.16 s B=32 wall, and its descriptors were only
-        ever read for checkpointing). Without bow_on (online codebook still
-        training) the full (N, nd+8) pack ships, since training consumes
-        host descriptors per keyframe."""
+        deployment shape) the SLIM pack ships — (N,4) features WITHOUT
+        descriptors, packed track-extension (N,), then (C+L,19)
+        verification rows covering BOTH the proximity candidates and the
+        BoW loop candidates selected ON DEVICE (below), then the L selected
+        loop indices + validity. Descriptors/BoW vectors stay in the device
+        bank and hydrate lazily (SlamSystem.hydrate_host). Without bow_on
+        (online codebook still training) the full (N, nd+8) pack ships and
+        there is no loop section (loop closure needs a codebook anyway).
+
+        On-device obtainCandidates (PlaceRecognition/LoopDetector.cpp:28-84
+        semantics): floor = min BoW score over the connected set, candidates
+        must beat the floor, respect the id interval, and not be connected;
+        top-L by score. The connected set here is {kprev} + the proximity
+        candidates in `idx` — the host's verified-connection set isn't known
+        at dispatch, so this is the dispatch-time superset (a RANSAC-failed
+        proximity candidate is still excluded; it sits inside the proximity
+        radius, where the reference's skip-connected rule excludes revisits
+        anyway). Selected candidates are verified IN THIS PROGRAM, so loop
+        closure costs ZERO extra round trips — detectLoop rides the same
+        dispatch+fetch as the rest of the keyframe."""
         from rgbdslam_tpu.frontend.frame import (pack_features_for_host,
                                                  pack_features_slim)
         from rgbdslam_tpu.loop.bow import bow_scores, bow_vector
 
         k = meta[0].astype(jnp.int32)
         kprev = meta[1].astype(jnp.int32)
-        idx = meta[2:2 + _C].astype(jnp.int32)
-        T21 = meta[2 + _C:].reshape(4, 4)
+        n_cands = meta[2].astype(jnp.int32)
+        idx = meta[3:3 + _C].astype(jnp.int32)
+        T21 = meta[3 + _C:].reshape(4, 4)
         key, sub = jax.random.split(key)
         D = D.at[k].set(f.desc)
         X = X.at[k].set(f.xyz)
         V = V.at[k].set(f.obs_valid)
         ps = pack_features_slim(f) if bow_on else pack_features_for_host(f)
-        ver = _verify_bank(D, X, V, idx, f.desc, f.xyz, f.obs_valid, sub)
         ext = _extend_tracks(D, X, V, kprev, f.desc, f.xyz,
                              f.obs_valid, f.uv_undist, T21)
         # idx2 + 4096*ok packed into one f32 lane (exact: < 2^24)
         ext_packed = (ext[0] + 4096 * ext[1]).astype(jnp.float32)
-        parts = [ps.reshape(-1), ext_packed, ver.reshape(-1)]
+
         if bow_on:
             vec = bow_vector(f.desc, f.obs_valid, words, idf)
             B = B.at[k].set(vec)
-            scores = bow_scores(vec, B)
-            parts += [scores]
+            scores = bow_scores(vec, B)                     # (Kbank,)
+            Kb = B.shape[0]
+            j_iota = jnp.arange(Kb)
+            slot_valid = jnp.arange(_C) < n_cands
+            conn = (j_iota == kprev) | jnp.any(
+                (j_iota[None, :] == idx[:, None]) & slot_valid[:, None],
+                axis=0)
+            floor = jnp.min(jnp.where(conn, scores, jnp.inf))
+            cand_ok = ((j_iota < k) & ((k - j_iota) > _interval)
+                       & ~conn & (scores > floor))
+            s_masked = jnp.where(cand_ok, scores, -1.0)
+            _top_s, top_j = jax.lax.top_k(s_masked, _L)
+            loop_valid = _top_s > -0.5
+            all_idx = jnp.concatenate([idx, top_j.astype(jnp.int32)])
+            ver = _verify_bank(D, X, V, all_idx,
+                               f.desc, f.xyz, f.obs_valid, sub)
+            parts = [ps.reshape(-1), ext_packed, ver.reshape(-1),
+                     top_j.astype(jnp.float32),
+                     loop_valid.astype(jnp.float32)]
+        else:
+            ver = _verify_bank(D, X, V, idx,
+                               f.desc, f.xyz, f.obs_valid, sub)
+            parts = [ps.reshape(-1), ext_packed, ver.reshape(-1)]
         return D, X, V, B, key, jnp.concatenate(parts)
 
     def _verify_bank_row(D, X, V, idx, k, key):
@@ -228,11 +263,6 @@ class SlamSystem:
         )
         self.kfs_since_loop = 0
         self.loops_closed = 0
-        # deferred loop verification: dispatched per-KF, fetched as one
-        # stacked transfer per batch (flush_loops); _last_loop_k implements
-        # the min_kfs_since_loop gate across the deferral
-        self._pending_loops = []
-        self._last_loop_k = -1
         self.loop_solve_ms = []   # wall ms of each mid-run loop-closure
                                   # optimize(20) (Solver/PoseGraph.cpp:71)
         self.last_loop_candidates = 0   # viewer HUD counter analog
@@ -253,7 +283,6 @@ class SlamSystem:
         # a batch back-to-back, complete them after one stacked blob fetch
         self.tracker.on_keyframe_dispatch = self._kf_dispatch
         self.tracker.on_keyframe_complete = self._kf_complete
-        self.tracker.on_batch_complete = self.flush_loops
         if cfg.use_relocalization:
             self.tracker.relocalize_fn = self._relocalize
 
@@ -393,8 +422,7 @@ class SlamSystem:
 
     def _verify_dispatch(self, cands, f, query_k: int = -1):
         """Dispatch-only half of _verify_candidates: returns the device
-        (C, 19) packed result (no fetch — deferred verification stacks many
-        of these into one transfer, flush_loops)."""
+        (C, 19) packed result (no fetch)."""
         C = self.cfg.pose_graph.max_proximity_candidates
         idx = np.zeros((C,), np.int32)
         idx[: len(cands)] = cands
@@ -428,9 +456,6 @@ class SlamSystem:
         the (rare) loop-closure solves."""
         h = self._kf_dispatch(k, timestamp, f, Tcw)
         self._kf_complete(h, RPC.fetch(h["blob"]))
-        # per-frame mode completes loop closures immediately (the batched
-        # path defers to the batch boundary via tracker.on_batch_complete)
-        self.flush_loops()
 
     def _kf_dispatch(self, k: int, timestamp: float, f: FrameFeatures,
                      Tcw: np.ndarray, feats_batch=None,
@@ -492,11 +517,12 @@ class SlamSystem:
         T21_prev = (Tcw @ np.linalg.inv(self.store.poses_cw[k - 1])
                     if k > 0 else np.eye(4, dtype=np.float32))
         # ONE host->device transfer for every scalar the program needs
-        meta = np.zeros((2 + C + 16,), np.float32)
+        meta = np.zeros((3 + C + 16,), np.float32)
         meta[0] = k
         meta[1] = max(k - 1, 0)
-        meta[2:2 + len(cands)] = cands
-        meta[2 + C:] = T21_prev.astype(np.float32).ravel()
+        meta[2] = len(cands)
+        meta[3:3 + len(cands)] = cands
+        meta[3 + C:] = T21_prev.astype(np.float32).ravel()
 
         D, X, V, B = self._bank
         if bow_on:
@@ -534,6 +560,7 @@ class SlamSystem:
         pg_cfg = self.cfg.pose_graph
         C = pg_cfg.max_proximity_candidates
 
+        L = self.cfg.loop.max_candidates
         if bow_on:
             off = N * 4                   # slim pack (no descriptors)
             ps = blob[:off].reshape(N, 4)
@@ -542,11 +569,13 @@ class SlamSystem:
             ps = blob[:off].reshape(N, nd + 8)
         extp = blob[off:off + N]          # idx2 + 4096*ok, one f32 lane
         off += N
-        ver = blob[off:off + C * 19].reshape(C, 19)
-        off += C * 19
-        scores = None
+        n_ver = C + L if bow_on else C    # loop rows ride the same blob
+        ver = blob[off:off + n_ver * 19].reshape(n_ver, 19)
+        off += n_ver * 19
+        loop_j = loop_valid = None
         if bow_on:
-            scores = blob[off:]           # BoW vec stays on device (lazy)
+            loop_j = blob[off:off + L].astype(np.int32)
+            loop_valid = blob[off + L:off + 2 * L] > 0.5
 
         if bow_on:
             self.store.fill_features_slim(k, ps, self.cam)
@@ -619,29 +648,64 @@ class SlamSystem:
         )
 
         # local bundle adjustment over the sliding window (no reference
-        # analog; BASELINE config 3). Runs before the (deferred) loop
-        # closure — the old skip-on-loop gate saved one optional polish, the
-        # closure's correction supersedes it either way.
+        # analog; BASELINE config 3)
         if self.cfg.use_local_ba:
             self._local_ba(k)
 
-        # loop detection (detectLoop): candidate selection + the batched
-        # verification DISPATCH happen here; the fetch + closure are
-        # deferred to flush_loops() so a batch of keyframes pays ONE
-        # verification round trip instead of one each (~51 blocking
-        # ~24 ms RTTs per 128-frame bench run — the dominant fetch cost
-        # after the slim blob). The reference's backend thread is
-        # asynchronous to tracking anyway (Solver/PoseGraph.cpp:59-103), so
-        # batch-deferred closure is in its semantics class, like the
-        # batch-boundary corrections documented in tracking.py.
-        if self.kfs_since_loop >= self.cfg.loop.min_kfs_since_loop:
-            h_loop = self._loop_dispatch(k, scores)
-            if h_loop is not None:
-                self._pending_loops.append(h_loop)
+        # loop closure (detectLoop, Solver/PoseGraph.cpp:245-287): the
+        # candidate selection AND verification already ran inside the fused
+        # keyframe program (zero extra round trips — the blob carries the
+        # (L,19) verified rows); here only the host gates + the solve remain
+        loop_found = False
+        if (bow_on and loop_valid is not None
+                and self.kfs_since_loop
+                >= self.cfg.loop.min_kfs_since_loop):
+            loop_found = self._close_loop_from_rows(
+                k, loop_j, loop_valid, ver[C:])
+            if loop_found:
+                self.kfs_since_loop = 0
+
+        # global BA polishes the pose-graph solution after a loop closure
+        if self.cfg.use_global_ba and loop_found:
+            self._global_ba(k)
 
         if (self.live_export is not None
                 and (k + 1) % self.live_export[0] == 0):
             self._write_live_export()
+
+    def _close_loop_from_rows(self, k: int, loop_j, loop_valid,
+                              rows: np.ndarray) -> bool:
+        """Host half of detectLoop: apply the inlier/match thresholds to the
+        device-verified loop candidates, insert edges, run optimize(20)
+        (Solver/PoseGraph.cpp:260-287)."""
+        th = max(
+            int(self.tracker.stats.mean_inliers
+                * self.cfg.loop.match_fraction),
+            self.cfg.ransac.min_inliers,
+        )
+        T_b, ninl_b, ok_b, nm_b = self._verify_decode(rows)
+        self.last_loop_candidates = int(loop_valid.sum())
+        closed = False
+        for c in range(len(loop_j)):
+            if not loop_valid[c]:
+                continue
+            j = int(loop_j[c])
+            if self.graph.has_edge(k, j):
+                continue
+            if not ok_b[c] or nm_b[c] < th or ninl_b[c] < th:
+                continue
+            self.graph.add_edge(k, j, np.asarray(T_b[c]))
+            self.loop_detector.connect(k, j)
+            closed = True
+        if closed:
+            import time as _time
+
+            t0 = _time.perf_counter()
+            self._optimize(self.cfg.pose_graph.opt_iters_loop)
+            self.loop_solve_ms.append(
+                round((_time.perf_counter() - t0) * 1e3, 2))
+            self.loops_closed += 1
+        return closed
 
     def _write_live_export(self):
         """Periodic map/trajectory export during the run (Viewer::run
@@ -726,67 +790,6 @@ class SlamSystem:
         # (Solver/SolverSE3.cpp:124-126 composition)
         Tcw = np.asarray(T_b[best]) @ self.store.poses_cw[j]
         return True, Tcw.astype(np.float32)
-
-    def _loop_dispatch(self, k: int, scores=None):
-        """BoW loop-candidate selection + batched verification DISPATCH
-        (detectLoop's candidate/match half, Solver/PoseGraph.cpp:253-276).
-        The query is bank row k (inserted by the fused KF program), so no
-        feature slice or upload is needed. Returns a pending handle (fetched
-        by flush_loops) or None when no candidate survives the gates."""
-        th = max(
-            int(self.tracker.stats.mean_inliers * self.cfg.loop.match_fraction),
-            self.cfg.ransac.min_inliers,
-        )
-        cands = [j for j in self.loop_detector.candidates(k, scores)
-                 if not self.graph.has_edge(k, j)]
-        self.last_loop_candidates = len(cands)
-        if not cands:
-            return None
-        cands = cands[: self.cfg.pose_graph.max_proximity_candidates]
-        # F1 = candidate j, F2 = current KF k -> T_b[c] = T_{k<-j}
-        return {"k": k, "cands": cands, "th": th,
-                "packed": self._verify_dispatch(cands, None, query_k=k)}
-
-    def flush_loops(self) -> bool:
-        """Complete all pending loop verifications: ONE stacked fetch, then
-        edge insertion + optimize per closing keyframe, in order
-        (Solver/PoseGraph.cpp:260-287 semantics, batch-deferred). Handles
-        within min_kfs_since_loop of an earlier closure in the same flush
-        are skipped — the same gate the synchronous path applied via the
-        kfs_since_loop reset."""
-        if not self._pending_loops:
-            return False
-        pending, self._pending_loops = self._pending_loops, []
-        packed = RPC.fetch(jnp.stack([h["packed"] for h in pending]))
-        any_closed = False
-        for h, rows in zip(pending, packed):
-            k, cands, th = h["k"], h["cands"], h["th"]
-            if (self._last_loop_k >= 0
-                    and k - self._last_loop_k
-                    < self.cfg.loop.min_kfs_since_loop):
-                continue
-            T_b, ninl_b, ok_b, nm_b = self._verify_decode(rows)
-            closed = False
-            for c, j in enumerate(cands):
-                if not ok_b[c] or nm_b[c] < th or ninl_b[c] < th:
-                    continue
-                self.graph.add_edge(k, j, np.asarray(T_b[c]))
-                self.loop_detector.connect(k, j)
-                closed = True
-            if closed:
-                import time as _time
-
-                t0 = _time.perf_counter()
-                self._optimize(self.cfg.pose_graph.opt_iters_loop)
-                self.loop_solve_ms.append(
-                    round((_time.perf_counter() - t0) * 1e3, 2))
-                self.loops_closed += 1
-                self._last_loop_k = k
-                self.kfs_since_loop = max(self.store.count - 1 - k, 0)
-                any_closed = True
-                if self.cfg.use_global_ba:
-                    self._global_ba(self.store.count - 1)
-        return any_closed
 
     # ------------------------------------------------------------------
     def _local_ba(self, k: int):
@@ -911,7 +914,6 @@ class SlamSystem:
     def finish(self):
         """Drain + final optimization (PoseGraph::shutdown,
         Solver/PoseGraph.cpp:407-418)."""
-        self.flush_loops()
         if self.graph.n_vertices > 5:
             self._optimize(self.cfg.pose_graph.opt_iters_default)
             if self.cfg.use_global_ba:
