@@ -73,6 +73,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="min keyframe-id gap for loop candidates")
     p.add_argument("--save-map", action="store_true")
     p.add_argument("--export-ply", action="store_true")
+    p.add_argument("--export-octomap", action="store_true",
+                   help="rebuild the occupancy grid (octomap equivalent: "
+                        "0.08 m log-odds voxels, hit 0.9/miss 0.4, "
+                        "Drawer/OctomapDrawer.cpp:15-79) from every "
+                        "keyframe's cloud under the FINAL optimized poses "
+                        "-> octomap.npz + occupied-voxel PLY")
     p.add_argument("--export-html", action="store_true",
                    help="self-contained interactive 3-D map viewer "
                         "(map_viewer.html; the Pangolin Viewer analog for "
@@ -232,6 +238,27 @@ def main(argv=None) -> int:
         print(json.dumps(result))
         return 0
 
+    # keyframe image retention for the export-time occupancy rebuild
+    # (the reference's Frame keeps its images, Core/Frame.h:24-216)
+    keeper = None
+    kf_seen = 0
+    if args.export_octomap and not args.odometry_only:
+        from rgbdslam_tpu.viz.octomap_export import KeyframeImageKeeper
+
+        keeper = KeyframeImageKeeper()
+
+    def _retain_kf_images(chunk_items):
+        nonlocal kf_seen
+        if keeper is None:
+            return
+        by_ts = {float(it[0]): it for it in chunk_items}
+        while kf_seen < len(tracker.keyframes):
+            ts_k = float(tracker.keyframes[kf_seen][0])
+            if ts_k in by_ts:
+                _, g, d = by_ts[ts_k]
+                keeper.offer(kf_seen, g, d)
+            kf_seen += 1
+
     if args.batch > 1:
         # batched full SLAM: B frames per device dispatch (scan-fused VO +
         # on-device keyframe gate; backend per flagged keyframe)
@@ -245,6 +272,7 @@ def main(argv=None) -> int:
                                         [c[1] for c in chunk],
                                         [c[2] for c in chunk])
                 done += len(chunk)
+                _retain_kf_images(chunk)
                 chunk = []
                 print(f"frame {done}/{n}  KFs={len(tracker.keyframes)}",
                       file=sys.stderr)
@@ -253,11 +281,13 @@ def main(argv=None) -> int:
                 tracker.track_batch([c[0] for c in chunk],
                                     [c[1] for c in chunk],
                                     [c[2] for c in chunk])
+            _retain_kf_images(chunk)
     else:
         track = system.track if system is not None else tracker.track
         for i, (ts, gray, depth) in enumerate(frame_iter):
             with timer.stage("track"):
                 track(ts, gray, depth)
+            _retain_kf_images([(ts, gray, depth)])
             if (i + 1) % 50 == 0:
                 print(f"frame {i+1}/{n}  KFs={len(tracker.keyframes)} "
                       f"inliers={tracker._last_inliers}", file=sys.stderr)
@@ -327,6 +357,25 @@ def main(argv=None) -> int:
         if pts:
             save_ply(os.path.join(args.out_dir, "map_points.ply"),
                      np.concatenate(pts), np.concatenate(cols))
+
+    if keeper is not None and system is not None and keeper.images:
+        from rgbdslam_tpu.mapping.occupancy import (occupied_voxels,
+                                                    save_grid)
+        from rgbdslam_tpu.viz.export import save_ply
+        from rgbdslam_tpu.viz.octomap_export import \
+            build_occupancy_from_keyframes
+
+        with timer.stage("octomap"):
+            grid = build_occupancy_from_keyframes(
+                ds.cam, keeper.images, system.store.poses_cw,
+                cfg.keyframe)
+            save_grid(os.path.join(args.out_dir, "octomap.npz"), grid)
+            centers, cols = occupied_voxels(grid)
+            if len(centers):
+                save_ply(os.path.join(args.out_dir, "octomap_voxels.ply"),
+                         centers, cols)
+        result["octomap_voxels"] = int(len(centers))
+        result["octomap_keyframes"] = len(keeper.images)
 
     if args.export_html and system is not None:
         from rgbdslam_tpu.viz.export import save_html_viewer

@@ -142,3 +142,33 @@ def test_adaptive_feedback_in_batched_scan():
         f"threshold did not adapt: {tr._extractor.threshold}")
     # threshold respects the clamp
     assert tr._extractor.threshold >= tr._extractor.th_min - 1e-6
+
+
+def test_cli_export_octomap(tmp_path):
+    """--export-octomap rebuilds the occupancy grid from retained keyframe
+    images under the FINAL poses (the reference viewer's epoch rebuild,
+    Drawer/MapDrawer.cpp:48-71) and writes octomap.npz + the voxel PLY."""
+    out = tmp_path / "out"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "rgbdslam_tpu.cli",
+         "--dataset", "synthetic:orbit", "--frames", "24",
+         "--out-dir", str(out), "--platform", "cpu", "--batch", "8",
+         "--num-features", "512", "--cell-size", "8",
+         "--fast-threshold", "15", "--export-octomap",
+         "--vocabulary", "none"],
+        capture_output=True, text=True, timeout=500, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    result = json.loads(r.stdout.strip().splitlines()[-1])
+    assert result.get("octomap_voxels", 0) > 50
+    assert result.get("octomap_keyframes", 0) >= 2
+    assert (out / "octomap.npz").exists()
+    assert (out / "octomap_voxels.ply").exists()
+    # grid round-trips and has occupied structure on the synthetic walls
+    from rgbdslam_tpu.mapping.occupancy import load_grid, occupied_voxels
+
+    grid = load_grid(str(out / "octomap.npz"))
+    centers, _ = occupied_voxels(grid)
+    assert len(centers) == result["octomap_voxels"]
