@@ -79,24 +79,38 @@ def _tracker_programs(cam: Camera, cfg: SlamConfig) -> dict:
                    adaptive=cfg.adaptive)
     matcher_cfg, ransac_cfg = cfg.matcher, cfg.ransac
 
-    # fused per-frame program: feature build + match + gather + RANSAC in
-    # ONE device dispatch, all host-consumed scalars in ONE (19,) packed
-    # array — each extra dispatch or fetch pays a ~10 ms RPC round trip
-    # over the remote-TPU tunnel, so per-frame work is exactly one
-    # dispatch + one small fetch
+    icp_cfg, use_icp = cfg.icp, cfg.use_icp_refinement
+
+    # fused per-frame program: feature build + match + gather + RANSAC +
+    # the GICP plane-to-plane polish (rmse-triggered where-select,
+    # System/Tracking.cpp:145-151) in ONE device dispatch, all
+    # host-consumed scalars in ONE packed array — each extra dispatch or
+    # fetch pays a ~10-25 ms RPC round trip over the remote-TPU tunnel.
+    # Round 4: the GICP stage moved INSIDE (it used to be a separate
+    # host-conditional dispatch + 2 fetches per triggered frame).
     def _fused(ref: FrameFeatures, cur: FrameFeatures, key):
+        """-> (T21 polished, res, packed[T21(16) | success | rmse | ninl])"""
         m = match_frames(ref, cur, matcher_cfg.nn_ratio)
         p1, p2, w, valid = gather_matched_points(ref, cur, m)
         res = ransac_se3(p1, p2, w, valid, key, ransac_cfg)
+        T21 = res.T21
+        if use_icp:
+            # matched surface covariances from depth-image patches
+            # (cheaper + truer than sparse-set kNN); a non-converged GICP
+            # keeps the RANSAC pose (divergence from the reference noted
+            # in _visual_odometry's docstring)
+            T_g, conv, _ = gicp_refine(p1, p2, res.inliers, T21, None,
+                                       icp_cfg, C1=ref.surf_cov,
+                                       C2=cur.surf_cov[m.idx2])
+            use = (res.rmse >= icp_cfg.rmse_trigger) & conv & res.success
+            T21 = jnp.where(use, T_g, T21)
         packed = jnp.concatenate([
-            res.T21.reshape(16),
+            T21.reshape(16),
             jnp.stack([res.success.astype(jnp.float32),
                        res.rmse.astype(jnp.float32),
                        res.num_inliers.astype(jnp.float32)]),
         ])
-        # matched surface covariances for the GICP stage (depth-image
-        # patches; cheaper + truer than sparse-set kNN)
-        return res, p1, p2, ref.surf_cov, cur.surf_cov[m.idx2], packed
+        return T21, res, packed
 
     def _step(ref: FrameFeatures, gray, depth, key, threshold):
         # the PRNG key evolves ON DEVICE (a host-side split would be an
@@ -105,12 +119,12 @@ def _tracker_programs(cam: Camera, cfg: SlamConfig) -> dict:
         # cost is exactly one dispatch + one 20-float fetch
         key, sub = jax.random.split(key)
         cur = ex.build(gray, depth, threshold)
-        res, p1, p2, C1, C2, packed = _fused(ref, cur, sub)
+        _T21, _res, packed = _fused(ref, cur, sub)
         # + current valid-keypoint count (ADAPTIVE feedback reads it
         # from the same packed fetch)
         packed = jnp.concatenate(
             [packed, jnp.sum(cur.valid).astype(jnp.float32)[None]])
-        return key, cur, res, p1, p2, C1, C2, packed
+        return key, cur, packed
 
     # ---- batched full-SLAM step: B frames per dispatch ----------------
     # The per-frame path pays one dispatch + one fetch per frame — each a
@@ -124,7 +138,6 @@ def _tracker_programs(cam: Camera, cfg: SlamConfig) -> dict:
     # pose, recover() semantics) and backend pose corrections apply at
     # batch boundaries — the reference's backend thread is asynchronous
     # anyway, so batch-delayed corrections match its semantics class.
-    icp_cfg, use_icp = cfg.icp, cfg.use_icp_refinement
     kf_cfg = cfg.keyframe
     use_dense = cfg.use_dense_icp
     # batched ADAPTIVE mode (VERDICT r3 weak #6: the per-frame within-frame
@@ -146,13 +159,7 @@ def _tracker_programs(cam: Camera, cfg: SlamConfig) -> dict:
         g, d = inp
         key, sub = jax.random.split(key)
         f_cur = ex.build(g, d, thr)
-        res, p1, p2, C1, C2, packed = _fused(f_prev, f_cur, sub)
-        T21 = res.T21
-        if use_icp:
-            T_g, conv, _ = gicp_refine(p1, p2, res.inliers, T21,
-                                       None, icp_cfg, C1=C1, C2=C2)
-            use = (res.rmse >= icp_cfg.rmse_trigger) & conv & res.success
-            T21 = jnp.where(use, T_g, T21)
+        T21, res, packed = _fused(f_prev, f_cur, sub)   # GICP fused inside
         if use_dense:
             # dense projective point-to-plane polish, as in the
             # per-frame path (there is no ref2 fallback in a batch, so
@@ -272,9 +279,10 @@ class Tracker:
         return sub
 
     def _estimate(self, ref: FrameFeatures, cur: FrameFeatures):
-        res, p1, p2, C1, C2, packed = self._fused_estimate(
-            ref, cur, self._next_key())
-        return res, (p1, p2, C1, C2), packed
+        """Fused match+RANSAC+GICP against an arbitrary reference (the ref2
+        retry path); returns the packed device row."""
+        _T21, _res, packed = self._fused_estimate(ref, cur, self._next_key())
+        return packed
 
     # ------------------------------------------------------------------
     def track(self, timestamp: float, gray, depth) -> np.ndarray:
@@ -494,8 +502,13 @@ class Tracker:
 
     def _visual_odometry(self, timestamp: float, gray, depth):
         """Frame-to-frame VO with second-reference retry and GICP refinement
-        (System/Tracking.cpp:121-163). Feature build + match + RANSAC is ONE
-        device dispatch; all host-consumed scalars come back in ONE fetch."""
+        (System/Tracking.cpp:121-163). Feature build + match + RANSAC + the
+        rmse-triggered GICP polish is ONE device dispatch; all host-consumed
+        scalars come back in ONE fetch. Divergence from the reference: a
+        non-converged GICP keeps the RANSAC pose instead of declaring
+        tracking lost — the reference overwrites its success flag with the
+        GICP result (System/Tracking.cpp:150), discarding a valid RANSAC
+        estimate."""
         ex = self._extractor
         for attempt in range(5):   # VideoDynamicAdaptedFeatureDetector's
             # <=5 within-frame re-detections (VideoDynamicAdapted-
@@ -507,7 +520,7 @@ class Tracker:
             if self._thr_val != ex.threshold:
                 self._thr_val = ex.threshold
                 self._thr_dev = jnp.float32(self._thr_val)
-            self._key, f, res, p1, p2, C1, C2, packed = self._step(
+            self._key, f, packed = self._step(
                 self.ref_frame, jnp.asarray(gray), jnp.asarray(depth),
                 self._key, self._thr_dev)
             RPC.dispatches += 1
@@ -519,7 +532,7 @@ class Tracker:
             if not (ex.adaptive and n_valid < ex.target_min
                     and ex.threshold < self._thr_val - 1e-9):
                 break
-        pts, ref_Tcw = (p1, p2, C1, C2), self.ref_Tcw
+        ref_Tcw = self.ref_Tcw
         used_ref2 = False
         T21_host, success, rmse, n_inl = (
             pk[:16].reshape(4, 4), bool(pk[16] > 0.5), float(pk[17]),
@@ -527,7 +540,7 @@ class Tracker:
 
         if not success and self.ref2_frame is not None:
             # anti-drift hover heuristic (System/Tracking.cpp:136-143)
-            (res, pts, packed), ref_Tcw = (
+            packed, ref_Tcw = (
                 self._estimate(self.ref2_frame, f), self.ref2_Tcw)
             used_ref2 = True
             RPC.dispatches += 1
@@ -535,24 +548,6 @@ class Tracker:
             T21_host, success, rmse, n_inl = (
                 pk[:16].reshape(4, 4), bool(pk[16] > 0.5), float(pk[17]),
                 int(pk[18]))
-
-        if success and self.cfg.use_icp_refinement and float(rmse) >= self.cfg.icp.rmse_trigger:
-            # GICP refinement on the matched sets (System/Tracking.cpp:145-151).
-            # Divergence from the reference: a non-converged GICP keeps the
-            # RANSAC pose instead of declaring tracking lost — the reference
-            # overwrites its success flag with the GICP result
-            # (System/Tracking.cpp:150), discarding a valid RANSAC estimate.
-            p1, p2, C1, C2 = pts
-            T_ref, converged, _ = gicp_refine(p1, p2, res.inliers, res.T21,
-                                              None, self.cfg.icp,
-                                              C1=C1, C2=C2)
-            RPC.dispatches += 1
-            _t0 = time.perf_counter()
-            converged, T_ref_host = jax.device_get((converged, T_ref))
-            RPC.fetches += 2
-            RPC.fetch_s += time.perf_counter() - _t0
-            if bool(converged):
-                T21_host = T_ref_host
 
         if (success and self.cfg.use_dense_icp and not used_ref2
                 and self.ref_depth is not None):
