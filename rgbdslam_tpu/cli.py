@@ -130,6 +130,7 @@ def main(argv=None) -> int:
     import numpy as np
 
     from rgbdslam_tpu.config import ExtractorConfig, LoopConfig, SlamConfig
+    from rgbdslam_tpu.geometry.se3 import inverse_np as se3_np_inverse
     from rgbdslam_tpu.io import trajectory as traj_io
     from rgbdslam_tpu.io.datasets import open_dataset
     from rgbdslam_tpu.slam.system import SlamSystem
@@ -348,7 +349,7 @@ def main(argv=None) -> int:
         pts, cols = [], []
         for k in range(system.store.count):
             Tcw = system.store.poses_cw[k]
-            Twc = np.linalg.inv(Tcw)
+            Twc = se3_np_inverse(Tcw)
             xyz = system.store.xyz[k]
             ok = system.store.obs_valid[k]
             pw = xyz[ok] @ Twc[:3, :3].T + Twc[:3, 3]
@@ -382,7 +383,7 @@ def main(argv=None) -> int:
 
         pw, inten = system.landmarks.world_points()
         K = system.store.count
-        poses_twc = np.stack([np.linalg.inv(system.store.poses_cw[k])
+        poses_twc = np.stack([se3_np_inverse(system.store.poses_cw[k])
                               for k in range(K)]) if K else None
         save_html_viewer(os.path.join(args.out_dir, "map_viewer.html"),
                          pw, inten, poses_twc)

@@ -155,6 +155,26 @@ def inverse(T: jnp.ndarray) -> jnp.ndarray:
     return from_Rt(Rt, -(Rt @ t[..., None])[..., 0])
 
 
+def inverse_np(T):
+    """Host-numpy twin of `inverse` for (..., 4, 4) pose stacks: [R^T |
+    -R^T t]. The host orchestrator composes/inverts poses constantly;
+    np.linalg.inv on 4x4 stacks was the single largest host-CPU item in the
+    full-SLAM profile (0.17 s of the 0.40 s B=32 host budget — LAPACK
+    per-matrix dispatch), and the closed form is also what the DEVICE
+    already uses, so host/device semantics agree exactly."""
+    import numpy as _np
+
+    T = _np.asarray(T)
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    Rt = _np.swapaxes(R, -1, -2)
+    out = _np.zeros_like(T)
+    out[..., :3, :3] = Rt
+    out[..., :3, 3] = -_np.einsum("...ij,...j->...i", Rt, t)
+    out[..., 3, 3] = 1.0
+    return out
+
+
 def identity(dtype=jnp.float32) -> jnp.ndarray:
     return jnp.eye(4, dtype=dtype)
 

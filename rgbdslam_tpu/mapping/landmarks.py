@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Dict, Optional, Tuple
 
 import numpy as np
+from rgbdslam_tpu.geometry import se3
 
 
 class LandmarkStore:
@@ -116,7 +117,7 @@ class LandmarkStore:
         """
         n = len(uv_undist)
         assign = np.full((n,), -1, np.int32)
-        Twc = np.linalg.inv(Tcw)
+        Twc = se3.inverse_np(Tcw)
         if kf == 0 and desc is not None and (
                 self.desc.shape[1:] != desc.shape[1:]
                 or self.desc.dtype != desc.dtype):
@@ -296,7 +297,7 @@ class LandmarkStore:
         ok = self.valid[:n] & (anchor >= 0) & (anchor < K)
         a = anchor[ok]
         # X' = Twc_new @ Tcw_old @ X, batched over landmarks
-        corr = np.linalg.inv(new_poses_cw[a]) @ old_poses_cw[a]  # (n_ok,4,4)
+        corr = se3.inverse_np(new_poses_cw[a]) @ old_poses_cw[a]  # (n_ok,4,4)
         X = self.Xw[:n][ok]
         self.Xw[:n][ok] = (
             np.einsum("nij,nj->ni", corr[:, :3, :3], X) + corr[:, :3, 3]

@@ -31,6 +31,7 @@ from rgbdslam_tpu.frontend.frame import FrameFeatures
 from rgbdslam_tpu.frontend.matcher import (correspondence_weights,
                                            match_descriptors)
 from rgbdslam_tpu.geometry.camera import Camera
+from rgbdslam_tpu.geometry import se3
 from rgbdslam_tpu.loop.detector import LoopDetector
 from rgbdslam_tpu.mapping.keyframes import KeyframeStore
 from rgbdslam_tpu.slam.tracking import Tracker
@@ -493,7 +494,7 @@ class SlamSystem:
 
         store_k = self.store.register(timestamp, Tcw)
         assert store_k == k
-        vk = self.graph.add_vertex(np.linalg.inv(Tcw))
+        vk = self.graph.add_vertex(se3.inverse_np(Tcw))
         assert vk == k
         connections = set()
         if k > 0:
@@ -514,7 +515,7 @@ class SlamSystem:
                      and not self.graph.has_edge(k, j)]
             cands = cands[: pg_cfg.max_proximity_candidates]
         C = pg_cfg.max_proximity_candidates
-        T21_prev = (Tcw @ np.linalg.inv(self.store.poses_cw[k - 1])
+        T21_prev = (Tcw @ se3.inverse_np(self.store.poses_cw[k - 1])
                     if k > 0 else np.eye(4, dtype=np.float32))
         # ONE host->device transfer for every scalar the program needs
         meta = np.zeros((3 + C + 16,), np.float32)
@@ -721,7 +722,7 @@ class SlamSystem:
         _every, out_dir = self.live_export
         pw, inten = self.landmarks.world_points()
         K = self.store.count
-        poses_twc = (np.linalg.inv(self.store.poses_cw[:K])
+        poses_twc = (se3.inverse_np(self.store.poses_cw[:K])
                      if K else None)
         html = os.path.join(out_dir, "map_viewer.html")
         save_html_viewer(html + ".tmp", pw, inten, poses_twc)
@@ -817,7 +818,7 @@ class SlamSystem:
         self.landmarks.update_from_solution(lm_ids, RPC.fetch(Xw_opt))
         self.store.poses_cw[kf_lo : k + 1] = Tcw_opt
         for i, kf in enumerate(kf_ids):
-            self.graph.Twc[kf] = np.linalg.inv(Tcw_opt[i]).astype(np.float32)
+            self.graph.Twc[kf] = se3.inverse_np(Tcw_opt[i]).astype(np.float32)
         self.tracker.apply_correction(self.store.poses_cw[: k + 1],
                                       relocalize=True)
 
@@ -892,7 +893,7 @@ class SlamSystem:
         self.landmarks.update_from_solution(lm_ids, RPC.fetch(Xw_opt))
         self.store.poses_cw[:K] = Tcw_opt
         for kf in kf_ids:
-            self.graph.Twc[kf] = np.linalg.inv(Tcw_opt[kf]).astype(np.float32)
+            self.graph.Twc[kf] = se3.inverse_np(Tcw_opt[kf]).astype(np.float32)
         self.tracker.apply_correction(self.store.poses_cw[:K],
                                       relocalize=True)
 
@@ -903,7 +904,7 @@ class SlamSystem:
         Twc_opt = self.graph.optimize(iterations)
         K = len(Twc_opt)
         old_poses_cw = self.store.poses_cw[:K].copy()
-        Tcw_opt = np.stack([np.linalg.inv(T).astype(np.float32) for T in Twc_opt])
+        Tcw_opt = se3.inverse_np(np.asarray(Twc_opt)).astype(np.float32)
         # move the landmark cloud with its keyframes (Frame::correctPose
         # re-anchors landmarks after optimization, Core/Frame.cpp:437-454)
         self.landmarks.reanchor(old_poses_cw, Tcw_opt)

@@ -24,6 +24,7 @@ import numpy as np
 
 from rgbdslam_tpu.config import SlamConfig
 from rgbdslam_tpu.frontend.extractor import Extractor
+from rgbdslam_tpu.geometry import se3
 from rgbdslam_tpu.frontend.frame import FrameFeatures
 from rgbdslam_tpu.frontend.matcher import gather_matched_points, match_frames
 from rgbdslam_tpu.geometry.camera import Camera
@@ -321,7 +322,7 @@ class Tracker:
 
         ref_kf_idx = len(self.keyframes) - 1
         kf_Tcw = self.keyframes[ref_kf_idx][2]
-        Tcr = Tcw @ np.linalg.inv(kf_Tcw)  # System/Tracking.cpp:252
+        Tcr = Tcw @ se3.inverse_np(kf_Tcw)  # System/Tracking.cpp:252
         self.trajectory.append(
             TrackedFrame(timestamp, Tcw.copy(), Tcr, ref_kf_idx, self._last_inliers)
         )
@@ -381,7 +382,7 @@ class Tracker:
         if self._batch_carry is None:
             D0 = jnp.asarray(
                 (self.ref_Tcw
-                 @ np.linalg.inv(self.last_kf_Tcw)).astype(np.float32))
+                 @ se3.inverse_np(self.last_kf_Tcw)).astype(np.float32))
             # reference depth seeds the dense-ICP carry (unused unless
             # cfg.use_dense_icp; an alias of a batch frame otherwise)
             d_ref = (self.ref_depth if self.ref_depth is not None
@@ -464,7 +465,7 @@ class Tracker:
                     # adopt any backend correction of the keyframe's pose
                     Tcw = self.keyframes[-1][2].copy()
             ref_kf_idx = len(self.keyframes) - 1
-            Tcr = Tcw @ np.linalg.inv(self.keyframes[ref_kf_idx][2])
+            Tcr = Tcw @ se3.inverse_np(self.keyframes[ref_kf_idx][2])
             self.trajectory.append(
                 TrackedFrame(ts, Tcw.copy(), Tcr, ref_kf_idx, n_inl))
             out[start + i] = Tcw
@@ -602,7 +603,7 @@ class Tracker:
     def _need_keyframe(self, Tcw: np.ndarray) -> bool:
         """>0.20 m or >10 deg accumulated motion since the last KF
         (System/Tracking.cpp:213-225)."""
-        delta = np.linalg.inv(Tcw) @ self.last_kf_Tcw
+        delta = se3.inverse_np(Tcw) @ self.last_kf_Tcw
         tn = float(np.linalg.norm(delta[:3, 3]))
         c = np.clip(0.5 * (np.trace(delta[:3, :3]) - 1.0), -1.0, 1.0)
         rn = float(np.arccos(c))
@@ -640,8 +641,8 @@ class Tracker:
         if relocalize:
             # re-anchor the live reference poses through the last KF's
             # correction: Tcw_ref' = (Tcw_ref @ Tkf^-1_old) @ Tkf_new
-            self.ref_Tcw = (self.ref_Tcw @ np.linalg.inv(old_last) @ new_last).astype(np.float32)
-            self.ref2_Tcw = (self.ref2_Tcw @ np.linalg.inv(old_last) @ new_last).astype(np.float32)
+            self.ref_Tcw = (self.ref_Tcw @ se3.inverse_np(old_last) @ new_last).astype(np.float32)
+            self.ref2_Tcw = (self.ref2_Tcw @ se3.inverse_np(old_last) @ new_last).astype(np.float32)
 
     # ------------------------------------------------------------------
     def camera_trajectory(self) -> Tuple[np.ndarray, np.ndarray]:
@@ -653,12 +654,12 @@ class Tracker:
         """
         if not self.trajectory:
             return np.zeros((0,)), np.zeros((0, 4, 4), np.float32)
-        Two = np.linalg.inv(self.keyframes[0][2])
+        Two = se3.inverse_np(self.keyframes[0][2])
         ts, poses = [], []
         for fr in self.trajectory:
             Trw = self.keyframes[fr.ref_kf_index][2] @ Two
             Tcw = fr.Tcr @ Trw
-            Twc = np.linalg.inv(Tcw)
+            Twc = se3.inverse_np(Tcw)
             ts.append(fr.timestamp)
             poses.append(Twc.astype(np.float32))
         return np.asarray(ts), np.stack(poses)
@@ -667,5 +668,5 @@ class Tracker:
         """KF trajectory as Twc (saveKeyFrameTrajectory,
         System/Tracking.cpp:270-284)."""
         ts = np.asarray([k[0] for k in self.keyframes])
-        poses = np.stack([np.linalg.inv(k[2]).astype(np.float32) for k in self.keyframes])
+        poses = se3.inverse_np(np.stack([k[2] for k in self.keyframes])).astype(np.float32)
         return ts, poses

@@ -365,7 +365,7 @@ class PoseGraph:
     def add_odometry_edge(self, a: int, b: int):
         """setMeasurementFromState (Solver/PoseGraph.cpp:204): Z from the
         current estimates."""
-        Z = np.linalg.inv(self.Twc[a]) @ self.Twc[b]
+        Z = se3.inverse_np(self.Twc[a]) @ self.Twc[b]
         self.add_edge(a, b, Z)
 
     @staticmethod

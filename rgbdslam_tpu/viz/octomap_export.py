@@ -22,6 +22,7 @@ import numpy as np
 
 from rgbdslam_tpu.config import KeyframeConfig
 from rgbdslam_tpu.geometry.camera import Camera
+from rgbdslam_tpu.geometry import se3
 from rgbdslam_tpu.mapping.cloud import keyframe_cloud, transform_cloud
 from rgbdslam_tpu.mapping.occupancy import (OccupancyGrid, insert_cloud,
                                             make_grid)
@@ -40,7 +41,7 @@ def build_occupancy_from_keyframes(
     ks = sorted(kf_images)
     if not ks:
         raise ValueError("no keyframe images retained")
-    Twc = np.stack([np.linalg.inv(poses_cw[k]) for k in ks]).astype(
+    Twc = se3.inverse_np(np.stack([poses_cw[k] for k in ks])).astype(
         np.float32)
     centers = Twc[:, :3, 3]
     lo = centers.min(axis=0) - (kf_cfg.cloud_z_max + margin)
