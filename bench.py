@@ -115,8 +115,10 @@ def measure_kernel_utilization() -> dict:
     has more vector throughput, so VPU percentages may exceed 100; MXU
     int8 ~= 394 TOPS):
     - matcher (MXU form, ops/hamming.py): floor = 2*N*M*256 int8 MACs /
-      MXU peak (the VPU epilogue fuses into the matmul and measures below
-      one un-fused pass; measured ~3.4 us ~= 80 % of the MXU floor).
+      MXU peak. The headline roofline_pct divides the FULL 2-NN match by
+      this matmul-only floor (~42-44 % measured); the `decomposition`
+      sub-dict separates the stages — matmul alone 56-79 %, remainder =
+      bit-unpack + distance epilogue on the VPU, 2-NN reductions ~free.
     - matcher (Pallas VPU kernel): ~130 N*M-shaped passes (8 words x
       [xor + 13-op popcount + add] + reductions).
     - fused detect kernel (_detect_core, 640x480 row-tiled): ~380 HxW

@@ -365,3 +365,36 @@ def test_pnp_ransac_p3p_default_clean():
     assert bool(res.success)
     tn, rn = pose_err(np.asarray(res.Tcw), Tcw)
     assert tn < 0.01 and rn < 0.01, (tn, rn)
+
+
+def test_p3p_degenerate_inputs_do_not_poison():
+    """Collinear / coincident 3-point samples must not produce NaN poses or
+    crash — RANSAC scores them out, but the candidate tensor itself has to
+    stay finite (a NaN pose would NaN-poison the batched residual matrix)."""
+    from rgbdslam_tpu.solvers.pnp import _p3p_grunert
+
+    # collinear world points
+    Xw = np.array([[0.0, 0.0, 2.0], [0.1, 0.0, 2.0], [0.2, 0.0, 2.0]],
+                  np.float32)
+    rays = Xw / np.linalg.norm(Xw, axis=1, keepdims=True)
+    T4, ok = _p3p_grunert(jnp.asarray(rays.astype(np.float32)),
+                          jnp.asarray(Xw))
+    assert np.isfinite(np.asarray(T4)).all()
+
+    # coincident points (zero baselines)
+    Xw2 = np.tile(np.array([0.3, -0.1, 1.5], np.float32), (3, 1))
+    rays2 = Xw2 / np.linalg.norm(Xw2, axis=1, keepdims=True)
+    T4b, okb = _p3p_grunert(jnp.asarray(rays2), jnp.asarray(Xw2))
+    assert np.isfinite(np.asarray(T4b)).all()
+
+    # and the full RANSAC still succeeds when such samples occur among
+    # valid data (duplicate points in the pool raise their draw odds)
+    rng = np.random.default_rng(7)
+    Xw3, uv3, Tcw = make_pnp_scene(rng, n=64, noise_px=0.2)
+    Xw3[32:] = Xw3[:32]      # half the pool duplicated
+    uv3[32:] = uv3[:32]
+    res = pnp_ransac(CAM, jnp.asarray(Xw3), jnp.asarray(uv3),
+                     jnp.ones(64, bool), jax.random.PRNGKey(2))
+    assert bool(res.success)
+    tn, rn = pose_err(np.asarray(res.Tcw), Tcw)
+    assert tn < 0.02 and rn < 0.02
