@@ -172,3 +172,28 @@ def test_cli_export_octomap(tmp_path):
     grid = load_grid(str(out / "octomap.npz"))
     centers, _ = occupied_voxels(grid)
     assert len(centers) == result["octomap_voxels"]
+
+
+def test_cli_distributed_flag(tmp_path):
+    """--distributed routes the live solves over the virtual device mesh
+    from the CLI (the flag plumb on top of tests/test_distributed_system's
+    system-level coverage)."""
+    out = tmp_path / "out"
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    r = subprocess.run(
+        [sys.executable, "-m", "rgbdslam_tpu.cli",
+         "--dataset", "synthetic:orbit", "--frames", "24",
+         "--out-dir", str(out), "--platform", "cpu", "--distributed",
+         "--num-features", "512", "--cell-size", "8",
+         "--fast-threshold", "15", "--loop-interval", "6",
+         "--vocabulary", "none"],
+        capture_output=True, text=True, timeout=500, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    result = json.loads(r.stdout.strip().splitlines()[-1])
+    assert result["frames"] == 24
+    # 24-frame orbit = large per-frame motion; this is a flag-plumb smoke
+    # (accuracy parity is tests/test_distributed_system.py's job)
+    assert result["ate_rmse"] < 0.35
