@@ -243,21 +243,35 @@ def main(argv=None) -> int:
     # (the reference's Frame keeps its images, Core/Frame.h:24-216)
     keeper = None
     kf_seen = 0
+    kf_skipped = 0
     if args.export_octomap and not args.odometry_only:
         from rgbdslam_tpu.viz.octomap_export import KeyframeImageKeeper
 
         keeper = KeyframeImageKeeper()
 
     def _retain_kf_images(chunk_items):
-        nonlocal kf_seen
-        if keeper is None:
+        nonlocal kf_seen, kf_skipped
+        if keeper is None or not chunk_items:
             return
         by_ts = {float(it[0]): it for it in chunk_items}
+        ts_max = max(by_ts)
         while kf_seen < len(tracker.keyframes):
             ts_k = float(tracker.keyframes[kf_seen][0])
             if ts_k in by_ts:
                 _, g, d = by_ts[ts_k]
                 keeper.offer(kf_seen, g, d)
+            elif ts_k > ts_max:
+                # keyframe from a frame this chunk hasn't delivered yet —
+                # do NOT advance past it (ADVICE r4: a permanent advance on
+                # a miss silently dropped the keyframe from the rebuild)
+                break
+            else:
+                # genuinely unmatched (should not happen: keyframes are
+                # created from tracked frames) — count + surface it
+                kf_skipped += 1
+                print(f"octomap: keyframe {kf_seen} (t={ts_k}) not found "
+                      "in its frame chunk; excluded from rebuild",
+                      file=sys.stderr)
             kf_seen += 1
 
     if args.batch > 1:
@@ -377,6 +391,7 @@ def main(argv=None) -> int:
                          centers, cols)
         result["octomap_voxels"] = int(len(centers))
         result["octomap_keyframes"] = len(keeper.images)
+        result["octomap_kf_skipped"] = kf_skipped
 
     if args.export_html and system is not None:
         from rgbdslam_tpu.viz.export import save_html_viewer

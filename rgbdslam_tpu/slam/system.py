@@ -50,6 +50,12 @@ def _system_programs(cam: Camera, cfg: SlamConfig) -> dict:
     tracking._tracker_programs for the measurement). All closures are pure
     functions of their arguments + the frozen (cam, cfg) cache key."""
     matcher_cfg, ransac_cfg = cfg.matcher, cfg.ransac
+    # the fused keyframe program packs track-extension results as
+    # idx2 + 4096*ok in one f32 lane (decoded with & 4095 / >= 4096 in
+    # _kf_complete); a feature budget beyond 4096 would silently corrupt
+    # the packed indices (ADVICE r4)
+    assert cfg.extractor.num_features <= 4096, (
+        "num_features > 4096 breaks the packed track-extension lane")
 
     # batched candidate verification: match + RANSAC vmapped over C
     # candidate keyframes against the current frame in a single device
@@ -143,11 +149,19 @@ def _system_programs(cam: Camera, cfg: SlamConfig) -> dict:
         semantics): floor = min BoW score over the connected set, candidates
         must beat the floor, respect the id interval, and not be connected;
         top-L by score. The connected set here is {kprev} + the proximity
-        candidates in `idx` — the host's verified-connection set isn't known
-        at dispatch, so this is the dispatch-time superset (a RANSAC-failed
-        proximity candidate is still excluded; it sits inside the proximity
-        radius, where the reference's skip-connected rule excludes revisits
-        anyway). Selected candidates are verified IN THIS PROGRAM, so loop
+        candidates in `idx`. For a brand-new query keyframe this IS the
+        complete host-known connection set (ADVICE r4 checked): the query's
+        connections are CREATED by this very program's verification rows —
+        loop_detector._connections[k] does not exist before _kf_complete,
+        and prior loop closures connect OLDER keyframe pairs, which the
+        reference's skip-connected rule (LoopDetector.cpp:37-46, keyed on
+        the query's own mspConnectedKFs) would not exclude either. The one
+        divergence is a superset exclusion: a proximity candidate whose
+        RANSAC verification FAILS later in this program is still excluded
+        from candidacy/floor, whereas the reference would admit it — it sits
+        inside the 0.5 m proximity radius, where revisits are handled by
+        proximity edges, and the host graph.has_edge gate dedupes in any
+        case. Selected candidates are verified IN THIS PROGRAM, so loop
         closure costs ZERO extra round trips — detectLoop rides the same
         dispatch+fetch as the rest of the keyframe."""
         from rgbdslam_tpu.frontend.frame import (pack_features_for_host,
@@ -197,12 +211,6 @@ def _system_programs(cam: Camera, cfg: SlamConfig) -> dict:
             parts = [ps.reshape(-1), ext_packed, ver.reshape(-1)]
         return D, X, V, B, key, jnp.concatenate(parts)
 
-    def _verify_bank_row(D, X, V, idx, k, key):
-        """Proximity/loop verification where the QUERY is bank row k (the
-        keyframe was already inserted by the fused program) — saves the
-        separate per-KF feature-slice launch and the query upload."""
-        return _verify_bank(D, X, V, idx, D[k], X[k], V[k], key)
-
     def _kf_core_batched(D, X, V, B, feats, meta, words, idf, key, bow_on):
         """Batched-tracking variant: `feats` is the whole (B, ...) scan
         output and meta[-1] the in-batch row — the gather happens INSIDE
@@ -215,7 +223,6 @@ def _system_programs(cam: Camera, cfg: SlamConfig) -> dict:
 
     return {
         "verify_bank": jax.jit(_verify_bank),
-        "verify_bank_row": jax.jit(_verify_bank_row),
         "extend_tracks": jax.jit(_extend_tracks),
         "kf_fused": {
             flag: jax.jit(functools.partial(_kf_core, bow_on=flag),
@@ -301,7 +308,6 @@ class SlamSystem:
         # _system_programs
         progs = _system_programs(cam, cfg)
         self._verify_bank_fn = progs["verify_bank"]
-        self._verify_bank_row_fn = progs["verify_bank_row"]
         self._extend_tracks = progs["extend_tracks"]
         self._kf_fused = progs["kf_fused"]
         self._kf_fused_batched = progs["kf_fused_batched"]
@@ -411,17 +417,17 @@ class SlamSystem:
         if ld.words is not None:
             self._bow_dev = (jnp.asarray(ld.words), jnp.asarray(ld.idf))
 
-    def _verify_candidates(self, cands, f, query_k: int = -1):
+    def _verify_candidates(self, cands, f):
         """Batched match+RANSAC of bank KFs `cands` against frame `f` via the
         device bank; returns host arrays (T21 (C,4,4), ninl, ok, n_matches)
         for the first len(cands) rows — a single device call + ONE fetch.
 
         RansacSE3 runs with F1=candidate KF, F2=f, so T21[c] = T_{f<-cand_c}.
         Padding rows (idx 0) are fetched but ignored by the callers."""
-        packed = RPC.fetch(self._verify_dispatch(cands, f, query_k))
+        packed = RPC.fetch(self._verify_dispatch(cands, f))
         return self._verify_decode(packed)
 
-    def _verify_dispatch(self, cands, f, query_k: int = -1):
+    def _verify_dispatch(self, cands, f):
         """Dispatch-only half of _verify_candidates: returns the device
         (C, 19) packed result (no fetch)."""
         C = self.cfg.pose_graph.max_proximity_candidates
@@ -429,13 +435,6 @@ class SlamSystem:
         idx[: len(cands)] = cands
         D, X, V = self._bank[:3]
         RPC.dispatches += 1
-        if f is None:
-            # query is bank row `query_k` (already inserted by the fused KF
-            # program) — no feature slice/upload needed (loop detection)
-            return self._verify_bank_row_fn(
-                D, X, V, jnp.asarray(idx), jnp.int32(query_k),
-                self._next_key(),
-            )
         return self._verify_bank_fn(
             D, X, V, jnp.asarray(idx), f.desc, f.xyz, f.obs_valid,
             self._next_key(),
@@ -648,9 +647,22 @@ class SlamSystem:
             kf_centers=self.store.centers(),
         )
 
+        # loop-closure gate state for this keyframe (used below, and to skip
+        # a local-BA solve that a pose-graph optimize + global BA would
+        # immediately overwrite — ADVICE r4: the round-4 unconditional order
+        # paid an extra solve dispatch on loop-closing keyframes)
+        loop_gate_open = (bow_on and loop_valid is not None
+                          and self.kfs_since_loop
+                          >= self.cfg.loop.min_kfs_since_loop)
+        likely_loop = loop_gate_open and bool(np.any(loop_valid))
+
         # local bundle adjustment over the sliding window (no reference
-        # analog; BASELINE config 3)
-        if self.cfg.use_local_ba:
+        # analog; BASELINE config 3); skipped when this keyframe carries
+        # device-verified loop candidates — if the closure lands, the
+        # pose-graph solve + global BA supersede the window solve anyway,
+        # and if every candidate fails the host gates we only lose one
+        # window polish (the next keyframe re-covers the window)
+        if self.cfg.use_local_ba and not likely_loop:
             self._local_ba(k)
 
         # loop closure (detectLoop, Solver/PoseGraph.cpp:245-287): the
@@ -658,9 +670,7 @@ class SlamSystem:
         # keyframe program (zero extra round trips — the blob carries the
         # (L,19) verified rows); here only the host gates + the solve remain
         loop_found = False
-        if (bow_on and loop_valid is not None
-                and self.kfs_since_loop
-                >= self.cfg.loop.min_kfs_since_loop):
+        if loop_gate_open:
             loop_found = self._close_loop_from_rows(
                 k, loop_j, loop_valid, ver[C:])
             if loop_found:
