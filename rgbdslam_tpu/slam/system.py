@@ -705,7 +705,7 @@ class SlamSystem:
                 continue
             if not ok_b[c] or nm_b[c] < th or ninl_b[c] < th:
                 continue
-            self.graph.add_edge(k, j, np.asarray(T_b[c]))
+            self.graph.add_edge(k, j, np.asarray(T_b[c]), kind=3)
             self.loop_detector.connect(k, j)
             closed = True
         if closed:

@@ -314,6 +314,15 @@ class PoseGraph:
         # 59-103); here the live optimizer IS the distributed solver.
         self.mesh = None
         self.dist_solves = 0     # observability: solves that rode the mesh
+        # multi-process publisher hooks (parallel/mp_slam.py): the tracking
+        # process announces every vertex/edge/solve over the async DCN
+        # channel so backend peer processes hold an identical graph mirror
+        # and join each collective solve — the cross-process analog of the
+        # reference's PoseGraph thread consuming the tracker's queue
+        # (Solver/PoseGraph.cpp:289-302)
+        self.on_vertex = None    # callback(k, Twc_4x4)
+        self.on_edge = None      # callback(a, b, Z, raw_weight, kind)
+        self.on_solve = None     # callback(iterations, n_vertices, n_edges)
         # padded-K switch point from the dense (6K)^2 Cholesky to the
         # matrix-free CG solve (solvers/cg.py) — keeps the solve O(K + E)
         self.cg_threshold = cg_threshold
@@ -339,13 +348,20 @@ class PoseGraph:
             self.max_vertices *= 2
         self.Twc[k] = Twc.astype(np.float32)
         self.n_vertices += 1
+        if self.on_vertex is not None:
+            self.on_vertex(k, self.Twc[k])
         return k
 
     def has_edge(self, a: int, b: int) -> bool:
         return a == b or (a, b) in self._edge_keys or (b, a) in self._edge_keys
 
-    def add_edge(self, a: int, b: int, Z_ab: np.ndarray, weight: float = 1.0):
-        """Edge with measurement Z = T_{a<-b} (a = 'current' side)."""
+    def add_edge(self, a: int, b: int, Z_ab: np.ndarray, weight: float = 1.0,
+                 kind: int = 2):
+        """Edge with measurement Z = T_{a<-b} (a = 'current' side).
+
+        kind: provenance tag for the multi-process publisher (1 = odometry,
+        2 = proximity/measured, 3 = loop closure) — purely observability,
+        no effect on the solve."""
         if self.n_edges >= self.max_edges:
             E = self.max_edges
             self.e_a = np.concatenate([self.e_a, np.zeros((E,), np.int32)])
@@ -361,12 +377,14 @@ class PoseGraph:
         self.e_w[e] = weight * self.information
         self.n_edges += 1
         self._edge_keys.add((a, b))
+        if self.on_edge is not None:
+            self.on_edge(a, b, self.e_Z[e], float(weight), int(kind))
 
     def add_odometry_edge(self, a: int, b: int):
         """setMeasurementFromState (Solver/PoseGraph.cpp:204): Z from the
         current estimates."""
         Z = se3.inverse_np(self.Twc[a]) @ self.Twc[b]
-        self.add_edge(a, b, Z)
+        self.add_edge(a, b, Z, kind=1)
 
     @staticmethod
     def _pad(n: int) -> int:
@@ -383,25 +401,28 @@ class PoseGraph:
         K = self.n_vertices
         if K <= 5:
             return self.Twc[:K]
+        if self.on_solve is not None:
+            # announce the solve to backend peer processes BEFORE entering
+            # the collective (they must join the shard_map program with an
+            # identical mirror; parallel/mp_slam.py)
+            self.on_solve(iterations, K, self.n_edges)
         Kp = self._pad(K)
         Ep = self._pad(max(self.n_edges, 1))
         Twc = np.tile(np.eye(4, dtype=np.float32), (Kp, 1, 1))
         Twc[:K] = self.Twc[:K]
-        edges = PoseGraphEdges(
-            a=jnp.asarray(np.resize(self.e_a[: self.n_edges], Ep) * (np.arange(Ep) < self.n_edges)),
-            b=jnp.asarray(np.resize(self.e_b[: self.n_edges], Ep) * (np.arange(Ep) < self.n_edges)),
-            Z=jnp.asarray(
-                np.concatenate(
-                    [self.e_Z[: self.n_edges],
-                     np.tile(np.eye(4, dtype=np.float32), (Ep - self.n_edges, 1, 1))]
-                )
-            ),
-            weight=jnp.asarray(
-                np.concatenate(
-                    [self.e_w[: self.n_edges], np.zeros(Ep - self.n_edges, np.float32)]
-                )
-            ),
-        )
+        a_np = (np.resize(self.e_a[: self.n_edges], Ep)
+                * (np.arange(Ep) < self.n_edges)).astype(np.int32)
+        b_np = (np.resize(self.e_b[: self.n_edges], Ep)
+                * (np.arange(Ep) < self.n_edges)).astype(np.int32)
+        Z_np = np.concatenate(
+            [self.e_Z[: self.n_edges],
+             np.tile(np.eye(4, dtype=np.float32),
+                     (Ep - self.n_edges, 1, 1))])
+        w_np = np.concatenate(
+            [self.e_w[: self.n_edges],
+             np.zeros(Ep - self.n_edges, np.float32)])
+        edges = PoseGraphEdges(a=jnp.asarray(a_np), b=jnp.asarray(b_np),
+                               Z=jnp.asarray(Z_np), weight=jnp.asarray(w_np))
         fixed = np.zeros((Kp,), dtype=bool)
         fixed[0] = True          # vertex 0 gauge (Solver/PoseGraph.cpp:358)
         fixed[K:] = True         # padding vertices pinned
@@ -413,13 +434,41 @@ class PoseGraph:
             from rgbdslam_tpu.parallel.dist_ba import (
                 distributed_pose_graph_optimize_cg, shard_edges)
 
-            ed = shard_edges(edges, self.mesh)
+            if any(d.process_index != jax.process_index()
+                   for d in self.mesh.devices.flat):
+                # mesh spans OS processes (jax.distributed multi-controller):
+                # every process holds the same full value and contributes
+                # its addressable shards — device_put of a host-local array
+                # cannot target non-addressable devices
+                from jax.sharding import PartitionSpec as P
+
+                from rgbdslam_tpu.parallel.multihost import (
+                    make_global, shard_edges_global)
+
+                ed = shard_edges_global(
+                    PoseGraphEdges(a=a_np, b=b_np, Z=Z_np, weight=w_np),
+                    self.mesh)
+                Twc_in = make_global(Twc, self.mesh, P())
+                fixed_in = make_global(fixed, self.mesh, P())
+            else:
+                ed = shard_edges(edges, self.mesh)
+                Twc_in, fixed_in = jnp.asarray(Twc), jnp.asarray(fixed)
             Twc_opt, _cost = distributed_pose_graph_optimize_cg(
-                jnp.asarray(Twc), ed, jnp.asarray(fixed), self.mesh,
+                Twc_in, ed, fixed_in, self.mesh,
                 iterations, self.cg_iters, self.huber_delta,
                 self.lm_lambda0,
             )
             self.dist_solves += 1
+            RPC.dispatches += 1
+            import time as _time
+
+            t0 = _time.perf_counter()
+            jax.block_until_ready(Twc_opt)
+            out = np.asarray(Twc_opt.addressable_data(0))[:K]
+            RPC.fetches += 1
+            RPC.fetch_s += _time.perf_counter() - t0
+            self.Twc[:K] = out
+            return out
         elif Kp >= self.cg_threshold:
             # large-map path: matrix-free preconditioned CG, O(K + E) memory
             from rgbdslam_tpu.solvers.cg import optimize_pose_graph_cg
