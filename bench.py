@@ -386,11 +386,18 @@ def measure_full_slam(n_frames: int = 128) -> dict:
     jax.block_until_ready(frames[-1][1])
     voc = shipped_vocabulary("svo_fast")
 
-    def run(batch: int = 0):
+    def run(batch=0):
         system = SlamSystem(cam, cfg, seed=0)
         if voc:
             system.load_vocabulary(voc)
-        if batch == 0:
+        if batch == "ring":
+            # per-frame deployment shape with the depth-2 dispatch/fetch
+            # ring: ONE blocking fetch per frame (the keyframe blob rides
+            # the next frame's fetch) — VERDICT r4 item 3
+            for ts, gray, depth in frames:
+                system.track_pipelined(ts, gray, depth)
+            system.track_pipelined_flush()
+        elif batch == 0:
             for ts, gray, depth in frames:
                 system.track(ts, gray, depth)
         else:
@@ -408,7 +415,9 @@ def measure_full_slam(n_frames: int = 128) -> dict:
         system.finish()
         return system
 
-    def timed(batch: int, label: str):
+    from rgbdslam_tpu.eval.ate import ate_rmse
+
+    def timed(batch, label: str):
         t0 = time.perf_counter()
         run(batch)             # warm-up: compiles (persistent-cached)
         print(f"{label} warmup: {time.perf_counter() - t0:.1f}s",
@@ -417,6 +426,9 @@ def measure_full_slam(n_frames: int = 128) -> dict:
         t0 = time.perf_counter()
         system = run(batch)
         dt = time.perf_counter() - t0
+        ts_c, poses_c = system.camera_trajectory()
+        rmse, _ = ate_rmse(ts_c, poses_c, ds.timestamps[:n_frames],
+                           ds.poses_twc[:n_frames])
         stats = {
             "fps": round(n_frames / dt, 2),
             "wall_s": round(dt, 2),
@@ -427,15 +439,20 @@ def measure_full_slam(n_frames: int = 128) -> dict:
             "loops_closed": system.loops_closed,
             "loop_solve_ms": system.loop_solve_ms,
             "rpc_count": RPC.total,
+            "ate_m": round(float(rmse), 4),
         }
         print(f"{label}: {stats['fps']} fps, {stats['rpcs_per_frame']} "
               f"RPCs/frame, {stats['loops_closed']} loops "
-              f"(solve {stats['loop_solve_ms']} ms), fetch-blocked "
-              f"{stats['fetch_wait_s']}s of {stats['wall_s']}s",
+              f"(solve {stats['loop_solve_ms']} ms), ATE {stats['ate_m']} m, "
+              f"fetch-blocked {stats['fetch_wait_s']}s of {stats['wall_s']}s",
               file=sys.stderr)
         return stats
 
-    per_frame = timed(0, "full-SLAM per-frame")
+    # per-frame deployment shape = the ring (ONE blocking fetch/frame);
+    # the serial dispatch->fetch chain is kept as a comparison point and
+    # as the ring's ATE-parity reference on the same tour
+    per_frame = timed("ring", "full-SLAM per-frame (ring)")
+    serial = timed(0, "full-SLAM per-frame (serial)")
     b8 = timed(8, "full-SLAM batched B=8")
     b32 = timed(32, "full-SLAM batched B=32")
 
@@ -457,6 +474,10 @@ def measure_full_slam(n_frames: int = 128) -> dict:
         "full_slam_loops_closed": per_frame["loops_closed"],
         "full_slam_loop_solve_ms": per_frame["loop_solve_ms"],
         "full_slam_rpcs_per_frame": per_frame["rpcs_per_frame"],
+        "full_slam_ate_m": per_frame["ate_m"],
+        "full_slam_serial_fps_1chip": serial["fps"],
+        "full_slam_serial_rpcs_per_frame": serial["rpcs_per_frame"],
+        "full_slam_serial_ate_m": serial["ate_m"],
         "full_slam_batched_fps_1chip": b8["fps"],
         "full_slam_batched_keyframes": b8["keyframes"],
         "full_slam_batched_loops_closed": b8["loops_closed"],

@@ -39,6 +39,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--batch", type=int, default=1, metavar="B",
                    help="batched full SLAM: B frames per device dispatch "
                         "(scan-fused VO + on-device keyframe gate)")
+    p.add_argument("--ring", action="store_true",
+                   help="per-frame full SLAM through the depth-2 "
+                        "dispatch/fetch ring: one blocking fetch per frame "
+                        "(keyframe backend completes one frame late); the "
+                        "low-latency per-frame deployment shape")
     p.add_argument("--pipelined", type=int, default=0, metavar="B",
                    help="odometry-only scan pipeline: B frames per device "
                         "dispatch (maximum throughput; no keyframes/backend)")
@@ -297,6 +302,25 @@ def main(argv=None) -> int:
                                     [c[1] for c in chunk],
                                     [c[2] for c in chunk])
             _retain_kf_images(chunk)
+    elif args.ring:
+        # per-frame dispatch/fetch ring (one blocking fetch per frame);
+        # a frame's keyframe materializes one feed later, so image
+        # retention always sees the previous frame too
+        prev_item = None
+        for i, (ts, gray, depth) in enumerate(frame_iter):
+            with timer.stage("track"):
+                tracker.track_pipelined(ts, gray, depth)
+            item = (ts, gray, depth)
+            _retain_kf_images([item] if prev_item is None
+                              else [prev_item, item])
+            prev_item = item
+            if (i + 1) % 50 == 0:
+                print(f"frame {i+1}/{n}  KFs={len(tracker.keyframes)}",
+                      file=sys.stderr)
+        with timer.stage("track"):
+            tracker.track_pipelined_flush()
+        if prev_item is not None:
+            _retain_kf_images([prev_item])
     else:
         track = system.track if system is not None else tracker.track
         for i, (ts, gray, depth) in enumerate(frame_iter):

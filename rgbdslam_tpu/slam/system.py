@@ -332,6 +332,15 @@ class SlamSystem:
     def track_batch_complete(self, h: dict) -> np.ndarray:
         return self.tracker.track_batch_complete(h)
 
+    def track_pipelined(self, timestamp: float, gray, depth):
+        """Per-frame tracking through the depth-2 dispatch/fetch ring
+        (ONE blocking fetch per frame; keyframe backend completes one frame
+        late). Returns the previous frame's (ts, Tcw), or None."""
+        return self.tracker.track_pipelined(timestamp, gray, depth)
+
+    def track_pipelined_flush(self):
+        return self.tracker.track_pipelined_flush()
+
     # ------------------------------------------------------------------
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
