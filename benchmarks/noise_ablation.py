@@ -62,7 +62,7 @@ def build_configs():
     }
 
 
-def run_one(name, cfg, frames, noise: bool):
+def run_one(name, cfg, frames, noise: bool, seed: int = 0):
     import numpy as np
 
     from rgbdslam_tpu.eval.ate import ate_rmse
@@ -72,7 +72,7 @@ def run_one(name, cfg, frames, noise: bool):
 
     cam = Camera(130.0, 130.0, 79.5, 59.5, width=160, height=120)
     ds = SyntheticDataset(n_frames=frames, cam=cam, trajectory="tour",
-                          noise=noise, seed=0)
+                          noise=noise, seed=seed)
     system = SlamSystem(cam, cfg, seed=0)
     if name.startswith("voc"):
         from rgbdslam_tpu.loop.vocabulary import shipped_vocabulary
@@ -87,7 +87,8 @@ def run_one(name, cfg, frames, noise: bool):
     ts_c, poses_c = system.camera_trajectory()
     rmse, _ = ate_rmse(ts_c, poses_c, ds.timestamps, ds.poses_twc)
     return {
-        "config": name, "noise": noise, "ate_rmse": round(float(rmse), 4),
+        "config": name, "noise": noise, "seed": seed,
+        "ate_rmse": round(float(rmse), 4),
         "failures": system.tracker.stats.failures,
         "keyframes": system.store.count,
         "loops": system.loops_closed,
@@ -103,6 +104,10 @@ def main():
                     help="comma-separated subset of config names")
     ap.add_argument("--clean-too", action="store_true",
                     help="also run each config on the clean tour")
+    ap.add_argument("--seeds", type=int, default=1,
+                    help="run noise seeds 0..N-1 per config and report "
+                         "mean+-std (VERDICT r4 item 4: n=1 cannot "
+                         "distinguish variance from regression)")
     args = ap.parse_args()
 
     if args.platform == "cpu":
@@ -115,13 +120,31 @@ def main():
     rows = []
     for name in names:
         cfg = configs[name]
-        r = run_one(name, cfg, args.frames, noise=True)
-        rows.append(r)
-        print(json.dumps(r), flush=True)
+        for seed in range(args.seeds):
+            r = run_one(name, cfg, args.frames, noise=True, seed=seed)
+            rows.append(r)
+            print(json.dumps(r), flush=True)
         if args.clean_too:
             r = run_one(name, cfg, args.frames, noise=False)
             rows.append(r)
             print(json.dumps(r), flush=True)
+
+    if args.seeds > 1:
+        import numpy as np
+
+        for name in names:
+            ates = [r["ate_rmse"] for r in rows
+                    if r["config"] == name and r["noise"]]
+            loops = [r["loops"] for r in rows
+                     if r["config"] == name and r["noise"]]
+            print(json.dumps({
+                "config": name, "summary": True, "n": len(ates),
+                "ate_mean": round(float(np.mean(ates)), 4),
+                "ate_std": round(float(np.std(ates)), 4),
+                "ate_min": round(float(np.min(ates)), 4),
+                "ate_max": round(float(np.max(ates)), 4),
+                "loops_closed_runs": int(sum(1 for l in loops if l >= 1)),
+            }), flush=True)
 
     print("\nconfig            noise  ATE      fails  KFs  loops",
           file=sys.stderr)

@@ -306,10 +306,12 @@ def main(argv=None) -> int:
         # per-frame dispatch/fetch ring (one blocking fetch per frame);
         # a frame's keyframe materializes one feed later, so image
         # retention always sees the previous frame too
+        feed = (system.track_pipelined if system is not None
+                else tracker.track_pipelined)
         prev_item = None
         for i, (ts, gray, depth) in enumerate(frame_iter):
             with timer.stage("track"):
-                tracker.track_pipelined(ts, gray, depth)
+                feed(ts, gray, depth)
             item = (ts, gray, depth)
             _retain_kf_images([item] if prev_item is None
                               else [prev_item, item])

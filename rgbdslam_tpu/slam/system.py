@@ -277,11 +277,30 @@ class SlamSystem:
                                         # (Tracking::loopCandidates,
                                         #  Drawer/Viewer.cpp:113-120)
         # during-run visualization: (every_n_keyframes, out_dir) -> rewrite
-        # map_viewer.html + trajectory.png periodically (the offline analog
-        # of the reference's 3 ms Pangolin render poll,
-        # Drawer/Viewer.cpp:83-136); amortized, off the per-frame hot path
+        # map_viewer.html + trajectory.png + tracked-point overlay.png +
+        # (epoch-gated) octomap.npz periodically (the offline analog of the
+        # reference's 3 ms Pangolin render poll, Drawer/Viewer.cpp:83-136 +
+        # the live overlay texture Viewer.cpp:122-128 + the big-change
+        # octomap rebuild MapDrawer.cpp:48-71); amortized, off the
+        # per-frame hot path
         self.live_export = None
         self.live_exports_written = 0
+        self.live_exports_dropped = 0   # worker-busy skips (render-poll
+                                        # frame drops)
+        self._live_q = None
+        self._live_thread = None
+        self._live_last_t = -1e18       # wall-clock export-floor state
+        self._live_final = False        # finish()'s export bypasses floors
+        # big-change epoch (Map::informNewBigChange, Core/Map.cpp:134-144):
+        # bumped after each loop-closure optimization; the live exporter
+        # rebuilds the occupancy grid only when it advances
+        self.map_epoch = 0
+        self._live_occ_epoch = -1     # epoch of the last octomap.npz write
+        self._live_occ_builder = None  # worker-thread incremental grid
+        self._live_keeper = None      # KF (gray, depth) refs, live mode only
+        self._live_overlay = None     # (gray, uv, valid, track_inlier) of
+                                      # the latest keyframe
+        self._recent_frames = {}      # ts -> (gray, depth) refs, last ~40
         self._key = jax.random.PRNGKey(seed + 12345)
         # keyframe rows whose descriptors/BoW vectors were NOT shipped in
         # the slim blob — hydrated from the device bank on demand
@@ -313,7 +332,21 @@ class SlamSystem:
         self._kf_fused_batched = progs["kf_fused_batched"]
 
     # ------------------------------------------------------------------
+    def _remember_frame(self, ts, gray, depth):
+        """Live-export frame retention: keep REFERENCES (no copy, no fetch)
+        to the last ~40 frames so a keyframe's own image can be paired with
+        its features for the overlay + occupancy keeper (matched by
+        timestamp in _kf_complete — mode-agnostic across serial/ring/batch
+        tracking)."""
+        if self.live_export is None:
+            return
+        self._recent_frames[float(ts)] = (gray, depth)
+        if len(self._recent_frames) > 40:
+            for t in sorted(self._recent_frames)[:-40]:
+                del self._recent_frames[t]
+
     def track(self, timestamp: float, gray, depth) -> np.ndarray:
+        self._remember_frame(timestamp, gray, depth)
         return self.tracker.track(timestamp, gray, depth)
 
     def track_batch(self, timestamps, grays, depths) -> np.ndarray:
@@ -327,6 +360,8 @@ class SlamSystem:
         completing batch i so the blob-fetch RPCs of one batch overlap the
         device compute of the next (the reference's tracking/backend thread
         overlap, main.cpp:39-48)."""
+        for ts, g, d in zip(timestamps, grays, depths):
+            self._remember_frame(ts, g, d)
         return self.tracker.track_batch_dispatch(timestamps, grays, depths)
 
     def track_batch_complete(self, h: dict) -> np.ndarray:
@@ -336,6 +371,7 @@ class SlamSystem:
         """Per-frame tracking through the depth-2 dispatch/fetch ring
         (ONE blocking fetch per frame; keyframe backend completes one frame
         late). Returns the previous frame's (ts, Tcw), or None."""
+        self._remember_frame(timestamp, gray, depth)
         return self.tracker.track_pipelined(timestamp, gray, depth)
 
     def track_pipelined_flush(self):
@@ -550,7 +586,7 @@ class SlamSystem:
             )
         RPC.dispatches += 1
         self._bank = (D, X, V, B)
-        return {"k": k, "f": f, "Tcw": Tcw, "cands": cands,
+        return {"k": k, "ts": timestamp, "f": f, "Tcw": Tcw, "cands": cands,
                 "connections": connections, "bow_on": bow_on,
                 "binary": binary_desc, "N": N,
                 "nd": desc_shape[-1], "blob": blob}
@@ -656,6 +692,27 @@ class SlamSystem:
             kf_centers=self.store.centers(),
         )
 
+        # live-export capture: pair this keyframe's own image (by timestamp,
+        # from the reference ring — no copy/fetch) with its features for
+        # the tracked-point overlay (Viewer.cpp:122-128 live texture) and
+        # the epoch-gated occupancy keeper (MapDrawer.cpp:48-71)
+        if self.live_export is not None:
+            fr = self._recent_frames.get(float(h["ts"]))
+            if fr is not None:
+                if self._live_keeper is None:
+                    from rgbdslam_tpu.viz.octomap_export import \
+                        KeyframeImageKeeper
+
+                    self._live_keeper = KeyframeImageKeeper(
+                        max_frames=256, materialize=False)
+                self._live_keeper.offer(k, fr[0], fr[1])
+                inl = (match_valid if match_valid is not None
+                       else np.zeros((N,), bool))
+                self._live_overlay = (
+                    fr[0], self.store.uv[k].copy(),
+                    self.store.obs_valid[k].copy(),
+                    np.asarray(inl, bool).copy())
+
         # loop-closure gate state for this keyframe (used below, and to skip
         # a local-BA solve that a pose-graph optimize + global BA would
         # immediately overwrite — ADVICE r4: the round-4 unconditional order
@@ -725,34 +782,152 @@ class SlamSystem:
             self.loop_solve_ms.append(
                 round((_time.perf_counter() - t0) * 1e3, 2))
             self.loops_closed += 1
+            # informNewBigChange (Core/Map.cpp:134-144 via
+            # Solver/PoseGraph.cpp:75): the live exporter rebuilds the
+            # occupancy grid when this epoch advances
+            self.map_epoch += 1
         return closed
 
     def _write_live_export(self):
         """Periodic map/trajectory export during the run (Viewer::run
         analog, Drawer/Viewer.cpp:83-136): landmark cloud + keyframe frusta
-        into map_viewer.html, top-down trajectory into trajectory.png.
-        Written atomically (tmp + rename) so a watcher never reads a torn
-        file."""
+        into map_viewer.html, top-down trajectory into trajectory.png, the
+        latest keyframe's tracked-point overlay into overlay.png
+        (Viewer.cpp:122-128), and an epoch-gated occupancy rebuild into
+        octomap.npz (MapDrawer.cpp:48-71 big-change semantics).
+
+        The reference renders on its own thread; here the tracking thread
+        only SNAPSHOTS host state (numpy copies — immutable jax arrays are
+        shared by reference) and a single worker thread does the heavy
+        writes (matplotlib, PNG encode, the per-keyframe occupancy cloud
+        programs). A busy worker drops the frame (freshness over
+        completeness — the analog of the viewer's render poll skipping).
+        All files are written atomically (tmp + rename)."""
+        import time as _time
+
+        _every, out_dir = self.live_export[:2]
+        # wall-clock floor between exports (default 2 s; a third tuple
+        # element overrides): file artifacts don't benefit from multiple
+        # rewrites per second, and each export costs ~0.1 s of
+        # GIL-shared work in the worker
+        min_dt = self.live_export[2] if len(self.live_export) > 2 else 2.0
+        now = _time.monotonic()
+        if (not self._live_final
+                and now - self._live_last_t < min_dt):
+            return
+        self._live_last_t = now
+        K = self.store.count
+        pw, inten = self.landmarks.world_points()
+        _ts, cam_twc = self.tracker.camera_trajectory()
+        snap = {
+            "out_dir": out_dir,
+            "pw": pw.copy(), "inten": inten.copy(),
+            "poses_twc": (se3.inverse_np(self.store.poses_cw[:K])
+                          if K else None),
+            "cam_twc": cam_twc,
+            "overlay": self._live_overlay,
+            "epoch": self.map_epoch,
+            "final": self._live_final,
+            "occ": None,
+        }
+        self._live_overlay = None        # one write per keyframe capture
+        if self._live_keeper is not None and self._live_keeper.images:
+            # always ship the keeper snapshot: the worker's incremental
+            # builder inserts only NEW keyframes per tick; the file write
+            # happens only at epoch boundaries (+ the final export)
+            snap["occ"] = (dict(self._live_keeper.images),
+                           self.store.poses_cw[: self.store.max_keyframes]
+                           .copy())
+        self._live_enqueue(snap)
+
+    def _live_enqueue(self, snap: dict) -> bool:
+        import queue
+        import threading
+
+        if self._live_q is None:
+            self._live_q = queue.Queue(maxsize=1)
+
+            def worker():
+                while True:
+                    job = self._live_q.get()
+                    if job is None:
+                        return
+                    try:
+                        self._live_write_job(job)
+                        self.live_exports_written += 1
+                    except Exception:   # noqa: BLE001 — viz must not kill
+                        pass            # the tracking thread
+                    finally:
+                        self._live_q.task_done()
+
+            self._live_thread = threading.Thread(target=worker, daemon=True)
+            self._live_thread.start()
+        try:
+            self._live_q.put_nowait(snap)
+            return True
+        except Exception:               # worker busy: drop this export
+            self.live_exports_dropped += 1
+            return False
+
+    def live_export_flush(self, timeout: float = 60.0):
+        """Block until the export worker drained (finish()/tests)."""
+        if self._live_q is not None:
+            self._live_q.join()
+
+    def _live_write_job(self, snap: dict):
         import os
 
-        from rgbdslam_tpu.viz.export import (plot_trajectories,
-                                             save_html_viewer)
+        from rgbdslam_tpu.viz.export import save_html_viewer
 
-        _every, out_dir = self.live_export
-        pw, inten = self.landmarks.world_points()
-        K = self.store.count
-        poses_twc = (se3.inverse_np(self.store.poses_cw[:K])
-                     if K else None)
+        out_dir = snap["out_dir"]
         html = os.path.join(out_dir, "map_viewer.html")
-        save_html_viewer(html + ".tmp", pw, inten, poses_twc)
+        # live writes subsample the cloud (15k points) and rasterize the
+        # trajectory directly — the full-fat matplotlib/200k-point export
+        # is the offline path's job (cli --plot/--export-html)
+        save_html_viewer(html + ".tmp", snap["pw"], snap["inten"],
+                         snap["poses_twc"], max_points=15_000)
         os.replace(html + ".tmp", html)
-        _ts, cam_twc = self.tracker.camera_trajectory()
-        if len(cam_twc):
+        if len(snap["cam_twc"]):
+            from rgbdslam_tpu.viz.export import plot_trajectory_quick
+
             png = os.path.join(out_dir, "trajectory.png")
-            plot_trajectories(png + ".tmp.png", [cam_twc],
-                              ["estimate (live)"])
+            plot_trajectory_quick(png + ".tmp.png", snap["cam_twc"])
             os.replace(png + ".tmp.png", png)
-        self.live_exports_written += 1
+
+        if snap["overlay"] is not None:
+            from matplotlib.image import imsave
+
+            from rgbdslam_tpu.viz.export import draw_tracked_points
+
+            g, uv, valid, inl = snap["overlay"]
+            img = draw_tracked_points(np.asarray(g), uv, inl, valid)
+            p = os.path.join(out_dir, "overlay.png")
+            imsave(p + ".tmp.png", img.astype(np.uint8))
+            os.replace(p + ".tmp.png", p)
+
+        if snap["occ"] is not None:
+            from rgbdslam_tpu.mapping.occupancy import save_grid
+            from rgbdslam_tpu.viz.octomap_export import \
+                IncrementalOccupancyBuilder
+
+            if self._live_occ_builder is None:
+                self._live_occ_builder = IncrementalOccupancyBuilder()
+            images, poses_cw = snap["occ"]
+            b = self._live_occ_builder
+            grid, _changed = b.update(self.cam, images, poses_cw,
+                                      snap["epoch"], self.cfg.keyframe)
+            # the npz write pays a multi-MB device fetch + compression, so
+            # it happens only at epoch boundaries and at shutdown — between
+            # them the grid accumulates on device (the reference's GL
+            # octomap is likewise only RE-RENDERED continuously; its save
+            # path is never even called, Drawer/OctomapDrawer.cpp:27-36)
+            if grid is not None and (b.epoch > self._live_occ_epoch
+                                     or snap["final"]):
+                p = os.path.join(out_dir, "octomap.npz")
+                save_grid(p + ".tmp.npz", grid, extra={"epoch": b.epoch},
+                          sparse_cap=2_000_000)
+                os.replace(p + ".tmp.npz", p)
+                self._live_occ_epoch = b.epoch
 
     def _relocalize(self, f: FrameFeatures):
         """LOST-state global relocalization: BoW retrieval over the keyframe
@@ -938,6 +1113,15 @@ class SlamSystem:
             self._optimize(self.cfg.pose_graph.opt_iters_default)
             if self.cfg.use_global_ba:
                 self._global_ba(self.graph.n_vertices - 1)
+        if self.live_export is not None:
+            # final guaranteed export (the shutdown render): drain the
+            # worker so the queue is free, snapshot the final state (incl.
+            # any pending epoch-gated occupancy rebuild), drain again
+            self.live_export_flush()
+            self._live_final = True
+            self._write_live_export()
+            self._live_final = False
+            self.live_export_flush()
 
     def camera_trajectory(self):
         return self.tracker.camera_trajectory()

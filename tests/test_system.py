@@ -186,6 +186,50 @@ def test_distorted_camera_end_to_end():
         f"distorted ATE {rmse_d} vs undistorted {rmse_u}")
 
 
+def test_live_export_overlay_and_epoch_gated_octomap(tmp_path):
+    """--live-export parity with the reference's live viewer (VERDICT r4
+    item 5): during the run the out-dir holds a refreshing tracked-point
+    overlay.png (Drawer/Viewer.cpp:122-128) and an octomap.npz whose
+    big-change epoch bumps on loop closure (Drawer/MapDrawer.cpp:48-71,
+    Core/Map.cpp:134-144)."""
+    import os
+
+    n = 100
+    ds = SyntheticDataset(n_frames=n, cam=CAM, trajectory="orbit",
+                          loops=1.15)
+    system = SlamSystem(CAM, CFG, seed=0)
+    system.live_export = (5, str(tmp_path))
+    epochs_seen = []
+    for i in range(n):
+        ts, gray, depth = ds.grab(i)
+        system.track(ts, gray, depth)
+        p = tmp_path / "octomap.npz"
+        if p.exists():
+            epochs_seen.append(int(np.load(p)["epoch"]))
+    system.finish()
+
+    assert system.loops_closed >= 1
+    assert system.live_exports_written >= 2
+    assert (tmp_path / "map_viewer.html").exists()
+    assert (tmp_path / "trajectory.png").exists()
+    # overlay refreshed with the latest keyframe's tracked points
+    assert (tmp_path / "overlay.png").exists()
+    assert os.path.getsize(tmp_path / "overlay.png") > 1000
+    # occupancy grid written DURING the run (initial epoch-0 build), and
+    # the epoch advances after the loop closure — the post-closure rebuild
+    # lands at the next export tick or the guaranteed shutdown export
+    assert epochs_seen, "octomap.npz never appeared during the run"
+    assert epochs_seen[0] == 0
+    assert system.map_epoch >= 1
+    final_epoch = int(np.load(tmp_path / "octomap.npz")["epoch"])
+    assert final_epoch == system.map_epoch >= 1
+    from rgbdslam_tpu.mapping.occupancy import load_grid, occupied_voxels
+
+    grid = load_grid(str(tmp_path / "octomap.npz"))
+    centers, _cols = occupied_voxels(grid)
+    assert len(centers) > 50       # a real map, not an empty grid
+
+
 def test_pipelined_ring_matches_per_frame():
     """track_pipelined (depth-2 dispatch/fetch ring, VERDICT r4 item 3)
     must reproduce the serial per-frame trajectory. Unlike batched mode the
