@@ -237,6 +237,135 @@ def _p3p_grunert(fs: jnp.ndarray, Pw: jnp.ndarray):
     return Tcw, valid
 
 
+# ---------------------------------------------------------------------------
+# EPnP (Lepetit, Moreno-Noguer, Fua, IJCV 2009) — the >=4-point closed-form
+# absolute-pose family of the reference's opengv EPNP option
+# (Solver/PnP.cpp's KNEIP/GAO/EPNP algorithm enum). O(n): the unknown pose is
+# expressed through 4 control points, every world point as fixed barycentric
+# coordinates of them; the camera-frame control points live in the <=4-dim
+# null space of a 2n x 12 system, the null-space mixing betas come from the
+# inter-control-point distance constraints (3 closed-form seeds + a small
+# Gauss-Newton), and the pose is a rigid fit world->camera. All fixed-shape
+# (eigh of 12x12, 4x4/6x? normal solves) — TPU-friendly, batchable via vmap.
+# ---------------------------------------------------------------------------
+
+_EPNP_PAIRS = ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+
+
+def _epnp_pose(Xw: jnp.ndarray, uv_n: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """EPnP pose from S >= 4 weighted correspondences. Xw: (S, 3) world
+    points, uv_n: (S, 2) normalized image coords, w: (S,) nonnegative
+    weights (0 = excluded; weight-aware throughout, so it doubles as the
+    non-minimal consensus refit inside pnp_ransac). Returns Tcw (4, 4)."""
+    S = Xw.shape[0]
+    dtype = Xw.dtype
+    wn = w / jnp.maximum(jnp.sum(w), 1e-12)
+
+    # world control points: weighted centroid + principal axes (paper §3.1;
+    # the eps floor keeps near-planar scenes solvable)
+    c0 = jnp.sum(wn[:, None] * Xw, axis=0)
+    Xc0 = Xw - c0
+    cov = jnp.einsum("n,ni,nj->ij", wn, Xc0, Xc0)
+    evals, evecs = jnp.linalg.eigh(cov)                 # ascending
+    sc = jnp.sqrt(jnp.maximum(evals, 1e-8))
+    Cw = jnp.stack([c0,
+                    c0 + sc[2] * evecs[:, 2],
+                    c0 + sc[1] * evecs[:, 1],
+                    c0 + sc[0] * evecs[:, 0]])          # (4, 3)
+
+    # barycentric coordinates: [Cw^T; 1] alpha = [X; 1]
+    CT = jnp.concatenate([Cw.T, jnp.ones((1, 4), dtype)], axis=0)  # (4, 4)
+    rhs = jnp.concatenate([Xw.T, jnp.ones((1, S), dtype)], axis=0)
+    alphas = jnp.linalg.solve(CT, rhs).T                # (S, 4)
+
+    # M^T M of the 2S x 12 projection system, built per point
+    x, y = uv_n[:, 0], uv_n[:, 1]
+    z3 = jnp.zeros_like(alphas)
+    Mu = jnp.stack([alphas, z3, -alphas * x[:, None]],
+                   axis=-1).reshape(S, 12)              # [a,0,-a*x] per ctrl
+    Mv = jnp.stack([z3, alphas, -alphas * y[:, None]],
+                   axis=-1).reshape(S, 12)
+    MtM = (jnp.einsum("n,ni,nj->ij", w, Mu, Mu)
+           + jnp.einsum("n,ni,nj->ij", w, Mv, Mv))
+    _ev, V12 = jnp.linalg.eigh(MtM)
+    V = V12[:, :4].T.reshape(4, 4, 3)                   # 4 null vecs as ctrl pts
+
+    # inter-control-point difference vectors of each null vector + targets
+    ia = jnp.array([p[0] for p in _EPNP_PAIRS])
+    ib = jnp.array([p[1] for p in _EPNP_PAIRS])
+    dv = V[:, ia] - V[:, ib]                            # (4, 6, 3)
+    rho = jnp.sum((Cw[ia] - Cw[ib]) ** 2, axis=-1)      # (6,)
+
+    def _ls(cols, prods_of_beta):
+        """Solve L[:, cols] b = rho in least squares; return b."""
+        A = jnp.stack(cols, axis=1)                     # (6, k)
+        AtA = A.T @ A + 1e-9 * jnp.eye(A.shape[1], dtype=dtype)
+        return jnp.linalg.solve(AtA, A.T @ rho)
+
+    # L columns are dot products of the dv's: L_bij = dv_i . dv_j (x2 off-diag)
+    def col(i, j):
+        f = 1.0 if i == j else 2.0
+        return f * jnp.sum(dv[i] * dv[j], axis=-1)      # (6,)
+
+    def _safe_sqrt(v):
+        return jnp.sqrt(jnp.maximum(v, 0.0))
+
+    # seed 1: betas ~ [b11, b12, b13, b14] (the dominant null vector + cross
+    # terms; opencv find_betas_approx_1)
+    b4 = _ls([col(0, 0), col(0, 1), col(0, 2), col(0, 3)], None)
+    s0 = jnp.where(b4[0] < 0, -1.0, 1.0)
+    be1 = _safe_sqrt(s0 * b4[0])
+    beta_a = jnp.stack([be1,
+                        s0 * b4[1] / jnp.maximum(be1, 1e-9),
+                        s0 * b4[2] / jnp.maximum(be1, 1e-9),
+                        s0 * b4[3] / jnp.maximum(be1, 1e-9)])
+
+    # seed 2: [b11, b12, b22] (opencv find_betas_approx_2)
+    b3 = _ls([col(0, 0), col(0, 1), col(1, 1)], None)
+    be1 = _safe_sqrt(jnp.abs(b3[0]))
+    be2 = _safe_sqrt(jnp.abs(b3[2])) * jnp.where(b3[1] >= 0, 1.0, -1.0)
+    beta_b = jnp.stack([be1, be2, jnp.zeros((), dtype), jnp.zeros((), dtype)])
+
+    # seed 3: [b11, b12, b22, b13, b23] (opencv find_betas_approx_3)
+    b5 = _ls([col(0, 0), col(0, 1), col(1, 1), col(0, 2), col(1, 2)], None)
+    be1 = _safe_sqrt(jnp.abs(b5[0]))
+    be2 = _safe_sqrt(jnp.abs(b5[2])) * jnp.where(b5[1] >= 0, 1.0, -1.0)
+    be3 = b5[3] / jnp.maximum(be1, 1e-9)
+    beta_c = jnp.stack([be1, be2, be3, jnp.zeros((), dtype)])
+
+    def _gauss_newton(beta):
+        """5 GN steps on ||sum_k beta_k dv_k[pair]||^2 = rho (paper §3.4)."""
+        def step(_, b):
+            cc = jnp.einsum("k,kpi->pi", b, dv)          # (6, 3)
+            res = jnp.sum(cc * cc, axis=-1) - rho        # (6,)
+            J = 2.0 * jnp.einsum("pi,kpi->pk", cc, dv)   # (6, 4)
+            H = J.T @ J + 1e-9 * jnp.eye(4, dtype=dtype)
+            return b - jnp.linalg.solve(H, J.T @ res)
+        return jax.lax.fori_loop(0, 5, step, beta)
+
+    def _pose_from_beta(beta):
+        from rgbdslam_tpu.solvers.kabsch import weighted_rigid_transform
+
+        Cc = jnp.einsum("k,kci->ci", beta, V)            # (4, 3)
+        Xc = alphas @ Cc                                 # (S, 3)
+        # cheirality: the null vector's sign is arbitrary
+        zbar = jnp.sum(wn * Xc[:, 2])
+        Xc = jnp.where(zbar < 0, -Xc, Xc)
+        T = weighted_rigid_transform(Xw, Xc, w)
+        pr = Xc[:, :2] / jnp.maximum(Xc[:, 2:3], 1e-9)
+        err = jnp.sum(wn * jnp.sum((pr - uv_n) ** 2, axis=-1))
+        return T, err
+
+    best_T = jnp.eye(4, dtype=dtype)
+    best_err = jnp.asarray(jnp.inf, dtype)
+    for seed in (beta_a, beta_b, beta_c):
+        T, err = _pose_from_beta(_gauss_newton(seed))
+        take = err < best_err
+        best_T = jnp.where(take, T, best_T)
+        best_err = jnp.where(take, err, best_err)
+    return best_T
+
+
 def _dlt_pose(Xw: jnp.ndarray, uv_n: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """6+-point DLT for [R|t] from world points and *normalized* image coords,
     followed by polar-decomposition projection onto SO(3). Batched over
@@ -282,7 +411,7 @@ class PnPResult(NamedTuple):
     success: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5, 6))
+@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7))
 def pnp_ransac(
     cam: Camera,
     Xw: jnp.ndarray,
@@ -291,6 +420,7 @@ def pnp_ransac(
     key: jnp.ndarray,
     cfg=None,
     minimal: str = "p3p",
+    refit: str = "ba",
 ) -> PnPResult:
     """Batched PnP RANSAC: minimal-solver hypotheses + reprojection scoring +
     motion-only BA refinement of the winner.
@@ -299,10 +429,18 @@ def pnp_ransac(
     sample, all scored — the Solver/PnP.cpp:14-127 KNEIP/GAO class. A
     3-point sample succeeds per draw with probability inlier_ratio^3 vs the
     DLT's ^6, which dominates at high outlier rates (tests/test_pnp_icp.py).
+    minimal='epnp': 4-point EPnP hypotheses (the opengv EPNP option of the
+    Solver/PnP.cpp algorithm enum — the >=4-point closed-form family).
     minimal='dlt6': the 6-point DLT (kept for A/B and as the no-quartic
     fallback). Defaults mirror Solver/PnPRansac.cpp:14-56: pixel threshold
     3.0, hypothesis budget ~ its 500 iterations (H=256 independent samples,
     up to 4 scored poses each on the p3p path).
+
+    refit='ba' (default): motion-only BA on the winner's consensus set.
+    refit='epnp+ba': EPnP non-minimal refit over the consensus set first
+    (the paper's intended all-inlier usage), then motion-only BA — the
+    closed-form refit is immune to the local minima a GN-from-minimal-pose
+    start can fall into when the winning sample was noisy.
     """
     H = 256
     px_th = 3.0
@@ -325,6 +463,12 @@ def pnp_ransac(
         T_4, ok_4 = jax.vmap(_p3p_grunert)(rays[idx], Xw[idx])  # (H,4,4,4)
         T_h = T_4.reshape(-1, 4, 4)                              # (4H,4,4)
         hyp_ok = ok_4.reshape(-1)
+    elif minimal == "epnp":
+        S = 4
+        idx = jax.random.categorical(key, logits, shape=(H, S))
+        T_h = jax.vmap(_epnp_pose)(
+            Xw[idx], uv_n[idx], valid[idx].astype(Xw.dtype))
+        hyp_ok = jnp.ones((H,), bool)
     else:
         S = 6
         idx = jax.random.categorical(key, logits, shape=(H, S))
@@ -341,6 +485,17 @@ def pnp_ransac(
 
     T0 = T_h[best]
     inl0 = inl_h[best]
+    if refit == "epnp+ba":
+        # non-minimal closed-form consensus refit (EPnP over the winner's
+        # inlier set) before the local BA polish
+        w_inl = (inl0 & valid).astype(Xw.dtype)
+        T_e = _epnp_pose(Xw, uv_n, w_inl)
+        Xc_e = jnp.einsum("ij,nj->ni", T_e[:3, :3], Xw) + T_e[:3, 3]
+        err2_e = jnp.sum((_project(cam, Xc_e) - uv) ** 2, axis=-1)
+        inl_e = (err2_e <= px_th * px_th) & valid & (Xc_e[..., 2] > 0.05)
+        take = jnp.sum(inl_e) >= jnp.sum(inl0)
+        T0 = jnp.where(take, T_e, T0)
+        inl0 = jnp.where(take, inl_e, inl0)
     T_ref, inl_ref = motion_only_ba(cam, T0, Xw, uv, inl0 & valid)
     cnt = jnp.sum(inl_ref)
     success = (cnt >= min_inliers) & any_valid

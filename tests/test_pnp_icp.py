@@ -398,3 +398,117 @@ def test_p3p_degenerate_inputs_do_not_poison():
     assert bool(res.success)
     tn, rn = pose_err(np.asarray(res.Tcw), Tcw)
     assert tn < 0.02 and rn < 0.02
+
+
+# ---------------------------------------------------------------------------
+# EPnP (>=4-point closed form; the opengv EPNP option of Solver/PnP.cpp's
+# algorithm enum): cv2.solvePnP(SOLVEPNP_EPNP) oracle + RANSAC integration.
+# ---------------------------------------------------------------------------
+
+
+def _epnp_on(Xw, uv, w=None):
+    from rgbdslam_tpu.solvers.pnp import _epnp_pose
+
+    uv_n = np.stack([(uv[:, 0] - CAM.cx) / CAM.fx,
+                     (uv[:, 1] - CAM.cy) / CAM.fy], axis=-1).astype(np.float32)
+    if w is None:
+        w = np.ones(len(Xw), np.float32)
+    return np.asarray(_epnp_pose(jnp.asarray(Xw), jnp.asarray(uv_n),
+                                 jnp.asarray(w)))
+
+
+def test_epnp_matches_cv2_oracle():
+    """On clean correspondences EPnP must recover the ground-truth pose and
+    agree with cv2.solvePnP(SOLVEPNP_EPNP) to its own accuracy class."""
+    import cv2
+
+    rng = np.random.default_rng(11)
+    K = np.array([[CAM.fx, 0, CAM.cx], [0, CAM.fy, CAM.cy], [0, 0, 1]],
+                 np.float64)
+    for trial in range(5):
+        Xw, uv, Tcw = make_pnp_scene(rng, n=24, noise_px=0.0)
+        T = _epnp_on(Xw, uv)
+        tn, rn = pose_err(T, Tcw)
+        assert tn < 5e-3 and rn < 5e-3, (trial, tn, rn)
+
+        ok, rvec, tvec = cv2.solvePnP(
+            Xw.astype(np.float64), uv.astype(np.float64), K, None,
+            flags=cv2.SOLVEPNP_EPNP)
+        assert ok
+        Tcv = np.eye(4, dtype=np.float32)
+        Tcv[:3, :3] = cv2.Rodrigues(rvec)[0]
+        Tcv[:3, 3] = tvec[:, 0]
+        tn, rn = pose_err(T, Tcv)
+        assert tn < 1e-2 and rn < 1e-2, (trial, tn, rn)
+
+
+def test_epnp_weighted_ignores_outliers():
+    """Zero-weight rows must not affect the closed form (the non-minimal
+    consensus-refit usage inside pnp_ransac)."""
+    rng = np.random.default_rng(12)
+    Xw, uv, Tcw = make_pnp_scene(rng, n=40, noise_px=0.0)
+    uv_c = uv.copy()
+    uv_c[:10] += 80.0
+    w = np.ones(40, np.float32)
+    w[:10] = 0.0
+    T = _epnp_on(Xw, uv_c, w)
+    tn, rn = pose_err(T, Tcw)
+    assert tn < 5e-3 and rn < 5e-3, (tn, rn)
+
+
+def test_pnp_ransac_epnp_minimal_and_refit():
+    rng = np.random.default_rng(13)
+    Xw, uv, Tcw = make_pnp_scene(rng, n=200, noise_px=0.3)
+    uv_c = uv.copy()
+    out_idx = rng.choice(200, 80, replace=False)
+    uv_c[out_idx] = rng.uniform([0, 0], [640, 480], size=(80, 2))
+    for minimal, refit in (("epnp", "ba"), ("p3p", "epnp+ba")):
+        res = pnp_ransac(
+            CAM, jnp.asarray(Xw), jnp.asarray(uv_c), jnp.ones(200, bool),
+            jax.random.PRNGKey(0), minimal=minimal, refit=refit)
+        assert bool(res.success), (minimal, refit)
+        tn, rn = pose_err(np.asarray(res.Tcw), Tcw)
+        assert tn < 0.02 and rn < 0.01, (minimal, refit, tn, rn)
+        assert int(res.num_inliers) > 100
+
+
+def test_pnp_minimal_ab_outlier_sweep():
+    """A/B of the minimal solvers across outlier rates (VERDICT r4 item 8's
+    table; printed for BASELINE.md). P3P's 3-point samples must keep
+    succeeding at rates where DLT-6 dies; EPnP-4 sits between them."""
+    import sys
+
+    rows = []
+    for rate in (0.0, 0.3, 0.5, 0.7):
+        succ = {"p3p": 0, "epnp": 0, "dlt6": 0}
+        terr = {"p3p": [], "epnp": [], "dlt6": []}
+        trials = 3
+        for t in range(trials):
+            rng = np.random.default_rng(100 + t)
+            n = 200
+            Xw, uv, Tcw = make_pnp_scene(rng, n=n, noise_px=0.3)
+            uv_c = uv.copy()
+            k = int(rate * n)
+            if k:
+                out_idx = rng.choice(n, k, replace=False)
+                uv_c[out_idx] = rng.uniform([0, 0], [640, 480], size=(k, 2))
+            for m in succ:
+                res = pnp_ransac(CAM, jnp.asarray(Xw), jnp.asarray(uv_c),
+                                 jnp.ones(n, bool), jax.random.PRNGKey(t),
+                                 minimal=m)
+                tn, _ = pose_err(np.asarray(res.Tcw), Tcw)
+                if bool(res.success) and tn < 0.05:
+                    succ[m] += 1
+                    terr[m].append(tn)
+        rows.append((rate, {m: succ[m] / trials for m in succ}))
+        print(f"outliers {rate:.0%}: "
+              + ", ".join(f"{m} {succ[m]}/{trials}" for m in succ),
+              file=sys.stderr)
+    by_rate = dict(rows)
+    # every solver is reliable through 50 % outliers
+    for r in (0.0, 0.3, 0.5):
+        assert by_rate[r]["p3p"] == 1.0, rows
+        assert by_rate[r]["epnp"] == 1.0, rows
+    # at 70 % the 3-point sampler must still succeed; DLT-6 is expected to
+    # collapse there (its per-draw success is inlier^6 = 0.07 %)
+    assert by_rate[0.7]["p3p"] == 1.0, rows
