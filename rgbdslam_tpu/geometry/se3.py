@@ -175,6 +175,35 @@ def inverse_np(T):
     return out
 
 
+def orthonormalize_np(T):
+    """Project the rotation block of (..., 4, 4) host poses back onto
+    SO(3) (polar projection via SVD, det-corrected), preserving the
+    translation. Returns float32.
+
+    Why this exists: chained f32 pose composes (Tcw = T21 @ Tcw, one per
+    frame) drift the rotation's scale by ~1e-7 per product. `inverse_np`'s
+    closed form [R^T | -R^T t] then MIRRORS that scale error instead of
+    inverting it (for R' = s*R the true inverse carries 1/s, the closed
+    form carries s), so every loop-closure re-anchor
+    (Tracker.apply_correction: ref' = ref @ inverse_np(old_kf) @ new_kf)
+    feeds the error back with the wrong sign — measured on the 600-frame
+    tour, the log-scale error TRIPLES per loop closure and the map
+    explodes super-exponentially after ~14 closures. One 3x3 SVD per
+    frame (a few microseconds on host) keeps every live pose exactly on
+    SE(3), which is the invariant the closed-form inverse needs."""
+    import numpy as _np
+
+    T = _np.asarray(T)
+    R = T[..., :3, :3].astype(_np.float64)
+    U, _, Vt = _np.linalg.svd(R)
+    d = _np.sign(_np.linalg.det(U @ Vt))
+    U = U.copy()
+    U[..., :, 2] *= _np.asarray(d)[..., None]
+    out = T.astype(_np.float32).copy()
+    out[..., :3, :3] = (U @ Vt).astype(_np.float32)
+    return out
+
+
 def identity(dtype=jnp.float32) -> jnp.ndarray:
     return jnp.eye(4, dtype=dtype)
 

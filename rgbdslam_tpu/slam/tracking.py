@@ -474,7 +474,12 @@ class Tracker:
             self.stats.acum_inliers += n_inl
             self._last_inliers = n_inl
             if success:
-                Tcw = (T21 @ Tcw).astype(np.float32)
+                # polar projection keeps the chained pose on SE(3): the
+                # closed-form inverse_np mirrors (not inverts) rotation
+                # scale drift, so uncorrected f32 drift would feed back
+                # through apply_correction and compound per loop closure
+                # (se3.orthonormalize_np docstring has the measurement)
+                Tcw = se3.orthonormalize_np(T21 @ Tcw)
                 self.consecutive_failures = 0
                 if self.state is TrackerState.LOST:
                     self.state = TrackerState.OK
@@ -642,7 +647,8 @@ class Tracker:
         self.stats.frames += 1
         self.stats.acum_inliers += n_inl
         if success:
-            Tcw = (np.asarray(T21_host) @ ref_Tcw).astype(np.float32)
+            # SE(3) projection — see the batch path / se3.orthonormalize_np
+            Tcw = se3.orthonormalize_np(np.asarray(T21_host) @ ref_Tcw)
             self.consecutive_failures = 0
             if self.state is TrackerState.LOST:
                 self.state = TrackerState.OK
@@ -776,7 +782,8 @@ class Tracker:
         self.stats.acum_inliers += n_inl
 
         if success:
-            Tcw = (np.asarray(T21_host) @ ref_Tcw).astype(np.float32)
+            # SE(3) projection — see the batch path / se3.orthonormalize_np
+            Tcw = se3.orthonormalize_np(np.asarray(T21_host) @ ref_Tcw)
             self.consecutive_failures = 0
             if self.state is TrackerState.LOST:
                 self.state = TrackerState.OK
@@ -844,8 +851,12 @@ class Tracker:
         if relocalize:
             # re-anchor the live reference poses through the last KF's
             # correction: Tcw_ref' = (Tcw_ref @ Tkf^-1_old) @ Tkf_new
-            self.ref_Tcw = (self.ref_Tcw @ se3.inverse_np(old_last) @ new_last).astype(np.float32)
-            self.ref2_Tcw = (self.ref2_Tcw @ se3.inverse_np(old_last) @ new_last).astype(np.float32)
+            # the projection here is the backstop that breaks the
+            # per-closure error feedback (se3.orthonormalize_np docstring)
+            self.ref_Tcw = se3.orthonormalize_np(
+                self.ref_Tcw @ se3.inverse_np(old_last) @ new_last)
+            self.ref2_Tcw = se3.orthonormalize_np(
+                self.ref2_Tcw @ se3.inverse_np(old_last) @ new_last)
 
     # ------------------------------------------------------------------
     def camera_trajectory(self) -> Tuple[np.ndarray, np.ndarray]:

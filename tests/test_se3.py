@@ -153,3 +153,49 @@ def test_so3_log_conditioning_near_pi():
         phi = np.asarray(se3.so3_log(jnp.asarray(R)))
         worst = max(worst, np.abs(ScipyRot.from_rotvec(phi).as_matrix() - R).max())
     assert worst < 2e-3, worst
+
+
+def test_orthonormalize_np_projects_and_preserves_translation():
+    rng = np.random.default_rng(7)
+    R = ScipyRot.random(8, rng=7).as_matrix().astype(np.float32)
+    t = rng.normal(size=(8, 3)).astype(np.float32)
+    T = np.tile(np.eye(4, dtype=np.float32), (8, 1, 1))
+    T[:, :3, :3] = R * 1.013          # scale-drifted rotation block
+    T[:, :3, 3] = t
+    out = se3.orthonormalize_np(T)
+    assert out.dtype == np.float32
+    np.testing.assert_allclose(out[:, :3, 3], t, atol=0)
+    RtR = np.einsum("nij,nik->njk", out[:, :3, :3], out[:, :3, :3])
+    np.testing.assert_allclose(RtR, np.tile(np.eye(3), (8, 1, 1)), atol=1e-6)
+    # nearest rotation to s*R (s>0) is R itself
+    np.testing.assert_allclose(out[:, :3, :3], R, atol=1e-5)
+    # single (4,4) form
+    one = se3.orthonormalize_np(T[0])
+    np.testing.assert_allclose(one, out[0], atol=1e-6)
+
+
+def test_inverse_np_mirrors_scale_error_motivation():
+    """The failure mode orthonormalize_np exists for: for a scale-drifted
+    pose s*R the closed-form inverse carries s (not 1/s), so the
+    apply_correction composition ref @ inverse_np(old) @ new AMPLIFIES a
+    shared scale error instead of cancelling it; after projection the
+    composition is exact."""
+    R = ScipyRot.random(1, rng=3).as_matrix()[0].astype(np.float32)
+    T = np.eye(4, dtype=np.float32)
+    s = 1.01
+    T[:3, :3] = s * R
+    T[:3, 3] = [0.3, -0.2, 1.0]
+    scale = lambda M: np.cbrt(abs(np.linalg.det(M[:3, :3])))
+    # closed form mirrors the error: scale(inv_closed(T)) == s, not 1/s
+    assert scale(se3.inverse_np(T)) == pytest.approx(s, abs=1e-3)
+    assert scale(np.linalg.inv(T)) == pytest.approx(1.0 / s, abs=1e-3)
+    # the ref-re-anchor composition with a SHARED drift s on ref and
+    # old_kf: without projection the drift compounds (s^2-class), with it
+    # the result is exactly on SE(3)
+    new_kf = np.eye(4, dtype=np.float32)
+    new_kf[:3, :3] = ScipyRot.random(1, rng=4).as_matrix()[0]
+    composed = T @ se3.inverse_np(T) @ new_kf
+    assert scale(composed) == pytest.approx(s * s, rel=1e-3)
+    fixed = se3.orthonormalize_np(T) @ se3.inverse_np(
+        se3.orthonormalize_np(T)) @ new_kf
+    assert scale(fixed) == pytest.approx(1.0, abs=1e-5)
